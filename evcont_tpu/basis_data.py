@@ -1,0 +1,120 @@
+"""Built-in Gaussian basis-set tables.
+
+The reference relies on pyscf's basis library (e.g. "sto-6g" in
+scripts/PES_H_chain/H6_PES/H6_continuation.py:31, "6-31G" in
+scripts/MD/Zundel_thermodynamics/continuation/04_Zundel_continuation_MD.py:48).
+pyscf is not available in this environment, so the standard published
+exponents/contraction coefficients for the elements exercised by the
+reference workloads (H chains, H2O, Zundel cation) are embedded here.
+
+Format: BASIS_SETS[basis_name][element_symbol] = list of shells, each shell a
+tuple (l, exponents, coefficients) where coefficients multiply *normalized*
+primitive Gaussians. Contracted functions are renormalized at build time
+(matching pyscf's mole normalization) in integrals/shells.py.
+"""
+
+# Universal STO-3G contraction coefficients (Hehre, Stewart, Pople 1969)
+_STO3G_1S_C = [0.15432897, 0.53532814, 0.44463454]
+_STO3G_2S_C = [-0.09996723, 0.39951283, 0.70011547]
+_STO3G_2P_C = [0.15591627, 0.60768372, 0.39195739]
+
+# STO-6G universal expansion of a zeta=1 Slater 1s, exps scaled by zeta^2
+_STO6G_1S_E = [23.10303149, 4.235915534, 1.185056519,
+               0.407098898, 0.158088415, 0.065110361]
+_STO6G_1S_C = [0.009163596281, 0.04936149294, 0.1685383049,
+               0.3705627997, 0.4164915298, 0.1303340841]
+
+
+def _scale(exps, zeta):
+    return [e * zeta * zeta for e in exps]
+
+
+BASIS_SETS = {
+    "sto-3g": {
+        "H": [
+            (0, [3.42525091, 0.62391373, 0.16885540], _STO3G_1S_C),
+        ],
+        "C": [
+            (0, [71.6168370, 13.0450960, 3.5305122], _STO3G_1S_C),
+            (0, [2.9412494, 0.6834831, 0.2222899], _STO3G_2S_C),
+            (1, [2.9412494, 0.6834831, 0.2222899], _STO3G_2P_C),
+        ],
+        "N": [
+            (0, [99.1061690, 18.0523120, 4.8856602], _STO3G_1S_C),
+            (0, [3.7804559, 0.8784966, 0.2857144], _STO3G_2S_C),
+            (1, [3.7804559, 0.8784966, 0.2857144], _STO3G_2P_C),
+        ],
+        "O": [
+            (0, [130.7093200, 23.8088610, 6.4436083], _STO3G_1S_C),
+            (0, [5.0331513, 1.1695961, 0.3803890], _STO3G_2S_C),
+            (1, [5.0331513, 1.1695961, 0.3803890], _STO3G_2P_C),
+        ],
+    },
+    "sto-6g": {
+        # H uses the standard scale factor zeta = 1.24
+        "H": [
+            (0, _scale(_STO6G_1S_E, 1.24), _STO6G_1S_C),
+        ],
+    },
+    "6-31g": {
+        "H": [
+            (0, [18.7311370, 2.8253937, 0.6401217],
+                [0.03349460, 0.23472695, 0.81375733]),
+            (0, [0.1612778], [1.0]),
+        ],
+        "C": [
+            (0, [3047.5249, 457.36951, 103.94869, 29.210155, 9.2866630, 3.1639270],
+                [0.0018347, 0.0140373, 0.0688426, 0.2321844, 0.4679413, 0.3623120]),
+            (0, [7.8682724, 1.8812885, 0.5442493],
+                [-0.1193324, -0.1608542, 1.1434564]),
+            (1, [7.8682724, 1.8812885, 0.5442493],
+                [0.0689991, 0.3164240, 0.7443083]),
+            (0, [0.1687144], [1.0]),
+            (1, [0.1687144], [1.0]),
+        ],
+        "N": [
+            (0, [4173.5110, 627.45790, 142.90210, 40.234330, 12.820210, 4.3904370],
+                [0.0018348, 0.0139950, 0.0685870, 0.2322410, 0.4690700, 0.3604550]),
+            (0, [11.626358, 2.7162800, 0.7722180],
+                [-0.1149610, -0.1691180, 1.1458520]),
+            (1, [11.626358, 2.7162800, 0.7722180],
+                [0.0675800, 0.3239070, 0.7408950]),
+            (0, [0.2120313], [1.0]),
+            (1, [0.2120313], [1.0]),
+        ],
+        "O": [
+            (0, [5484.6717, 825.23495, 188.04696, 52.964500, 16.897570, 5.7996353],
+                [0.0018311, 0.0139501, 0.0684451, 0.2327143, 0.4701930, 0.3585209]),
+            (0, [15.539616, 3.5999336, 1.0137618],
+                [-0.1107775, -0.1480263, 1.1307670]),
+            (1, [15.539616, 3.5999336, 1.0137618],
+                [0.0708743, 0.3397528, 0.7271586]),
+            (0, [0.2700058], [1.0]),
+            (1, [0.2700058], [1.0]),
+        ],
+    },
+}
+
+# Aliases accepting pyscf-style capitalization
+_ALIASES = {"sto6g": "sto-6g", "sto3g": "sto-3g", "631g": "6-31g"}
+
+
+def get_element_basis(basis_name, symbol):
+    """Look up the shell list for an element; raises with a clear message if
+    the basis/element is not embedded yet."""
+    key = basis_name.lower().replace(" ", "")
+    key = _ALIASES.get(key.replace("-", ""), key)
+    try:
+        table = BASIS_SETS[key]
+    except KeyError:
+        raise KeyError(
+            f"Basis set '{basis_name}' not embedded. Available: "
+            f"{sorted(BASIS_SETS)}"
+        )
+    try:
+        return table[symbol]
+    except KeyError:
+        raise KeyError(
+            f"Element '{symbol}' not available in embedded basis "
+            f"'{basis_name}' (have {sorted(table)})"
+        )

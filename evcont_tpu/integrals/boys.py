@@ -1,0 +1,71 @@
+"""Boys function F_m(T) for molecular integrals, JAX-native and differentiable.
+
+The reference delegates all integral evaluation to libcint via pyscf
+(evcont/electron_integral_utils.py:122-138); here the Boys function is the
+scalar core of the TPU-native McMurchie-Davidson engine.
+
+Implementation notes: jax.lax.igamma is avoided deliberately — its CPU/TPU
+lowering costs several seconds of XLA compile time *per instance*, which is
+prohibitive with one Boys call per shell class. Instead:
+
+  * T <= 18: convergent series  F_m(T) = e^{-T} sum_k (2T)^k / (2m+2k+1)!!
+    evaluated at m = m_max (fixed 64-term unroll, f64-exact for T <= 18),
+    then stable downward recursion F_{m-1} = (2T F_m + e^{-T}) / (2m-1).
+  * T > 18: F_0 = (1/2) sqrt(pi/T) (erf(sqrt T) = 1 to < 1e-14 here), then
+    upward recursion F_{m+1} = ((2m+1) F_m - e^{-T}) / (2T), stable for
+    T > m + 1/2.
+
+Both branches are smooth closed forms, so jnp.where selection is
+autodiff-safe (each branch stays finite for all T after clamping to its
+domain) and jax.grad delivers dF_m/dT = -F_{m+1} exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+
+_SERIES_TERMS = 64
+_SWITCH = 18.0
+
+
+def boys(m_max, T):
+    """Evaluate F_0..F_{m_max} at T.
+
+    Args:
+        m_max: static int, highest order needed.
+        T: array of any shape, non-negative.
+
+    Returns:
+        array of shape T.shape + (m_max + 1,)
+    """
+    T = jnp.asarray(T)
+
+    # ---- series branch (T <= SWITCH), clamped to keep it finite above ----
+    Ts = jnp.minimum(T, _SWITCH)
+    exp_Ts = jnp.exp(-Ts)
+    two_T_s = 2.0 * Ts
+    # F_{m_max} by series: term_k = (2T)^k (2m-1)!! / (2m+2k+1)!!
+    term = jnp.ones_like(Ts) / (2.0 * m_max + 1.0)
+    acc = term
+    for k in range(1, _SERIES_TERMS):
+        term = term * two_T_s / (2.0 * m_max + 2.0 * k + 1.0)
+        acc = acc + term
+    F_top = acc * exp_Ts
+    # downward recursion
+    F_series = [None] * (m_max + 1)
+    F_series[m_max] = F_top
+    for m in range(m_max, 0, -1):
+        F_series[m - 1] = (two_T_s * F_series[m] + exp_Ts) / (2.0 * m - 1.0)
+
+    # ---- large-T branch (T > SWITCH) ----
+    Tb = jnp.maximum(T, _SWITCH)
+    exp_Tb = jnp.exp(-Tb)
+    sqrt_Tb = jnp.sqrt(Tb)
+    F0 = 0.5 * jnp.sqrt(jnp.pi) / sqrt_Tb * jax.scipy.special.erf(sqrt_Tb)
+    F_up = [F0]
+    inv_2T = 0.5 / Tb
+    for m in range(m_max):
+        F_up.append(((2.0 * m + 1.0) * F_up[m] - exp_Tb) * inv_2T)
+
+    small = T <= _SWITCH
+    out = [jnp.where(small, fs, fu) for fs, fu in zip(F_series, F_up)]
+    return jnp.stack(out, axis=-1)

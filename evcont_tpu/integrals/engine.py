@@ -1,0 +1,380 @@
+"""Differentiable Gaussian-integral engine (McMurchie-Davidson, JAX).
+
+Replaces the pyscf/libcint integral layer the reference depends on:
+  * mol.intor("int1e_ovlp")      -> IntegralEngine.overlap
+  * scf.hf.get_hcore(mol)        -> IntegralEngine.hcore
+  * mol.intor("int2e") + ao2mo   -> IntegralEngine.eri
+  * mol.intor("int1e_r")         -> IntegralEngine.dipole
+  * mol.energy_nuc()             -> IntegralEngine.energy_nuc
+  * int1e_ipovlp / int2e_ip1 / hcore_generator (derivative integrals used in
+    evcont/ab_initio_gradients_loewdin.py:25,147,284) -> jax.grad/jacrev of
+    the functions above: the whole engine is differentiable w.r.t. nuclear
+    coordinates, so analytic forces come from autodiff instead of
+    hand-assembled Hellmann-Feynman contractions.
+
+Design notes (TPU-first):
+  * Geometry-independent structure (shell classes, contraction coefficients,
+    AO scatter indices, Hermite gather tables) is precomputed with numpy at
+    construction. Every public method is a pure function of coords (natm, 3)
+    and is jit/vmap/grad-compatible.
+  * Primitive shells are grouped into classes by angular momentum; within a
+    class everything is a dense batched tensor. Hermite E/R recursions are
+    materialized into stacked arrays once, and all angular assembly happens
+    through static gathers + einsums (batched matmuls on the MXU) — keeping
+    the XLA graph small (compile time) and the arithmetic dense.
+"""
+
+import itertools
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from ..molecule import Molecule
+from .mcmurchie import hermite_E_dense, hermite_R_dense, cart_components
+from .shells import (
+    build_shell_structure,
+    primitive_classes,
+    pair_scatter_indices,
+    cartesian_pairs,
+)
+
+
+class IntegralBundle(NamedTuple):
+    """All geometry-dependent AO-basis quantities needed downstream."""
+    ovlp: jnp.ndarray    # (nao, nao)
+    hcore: jnp.ndarray   # (nao, nao)
+    eri: jnp.ndarray     # (nao, nao, nao, nao), chemist (ij|kl)
+    enuc: jnp.ndarray    # scalar
+
+
+def _comp_tables(l):
+    carts = cart_components(l)
+    return tuple(np.array([c[d] for c in carts], dtype=np.int32)
+                 for d in range(3))
+
+
+@dataclass(frozen=True)
+class _PairClass:
+    la: int
+    lb: int
+    atom_a: np.ndarray
+    atom_b: np.ndarray
+    a: np.ndarray
+    b: np.ndarray
+    cc: np.ndarray           # coefficient product
+    scatter: np.ndarray      # (n, ca, cb) int32 into flat (nao*nao)
+
+
+@dataclass(frozen=True)
+class _QuartetClass:
+    ls: tuple
+    atoms: tuple             # 4 arrays (n,)
+    exps: tuple              # 4 arrays (n,)
+    cc: np.ndarray
+    scatter: np.ndarray      # (n, ca*cb*cc*cd) into flat nao**4
+    conv_table: np.ndarray   # (TB*TK,) gather table R_flat -> M
+
+
+class IntegralEngine:
+    def __init__(self, mol: Molecule):
+        self.mol = mol
+        self.structure = build_shell_structure(mol)
+        self.nao = self.structure.nao
+        self.natm = mol.natm
+        self.charges = mol.numbers.astype(np.float64)
+        self._prim = primitive_classes(self.structure)
+        self._pairs = self._build_pair_classes()
+        self._quartets = self._build_quartet_classes()
+
+    # ------------------------------------------------------------------
+    # static structure
+    # ------------------------------------------------------------------
+    def _build_pair_classes(self):
+        classes = []
+        nao = self.nao
+        for la, lb in itertools.product(sorted(self._prim), repeat=2):
+            pa, pb = self._prim[la], self._prim[lb]
+            ia, ib = cartesian_pairs(len(pa.exp), len(pb.exp))
+            ca = (la + 1) * (la + 2) // 2
+            cb = (lb + 1) * (lb + 2) // 2
+            classes.append(_PairClass(
+                la=la, lb=lb,
+                atom_a=pa.atom[ia], atom_b=pb.atom[ib],
+                a=pa.exp[ia], b=pb.exp[ib],
+                cc=pa.coef[ia] * pb.coef[ib],
+                scatter=pair_scatter_indices(
+                    ca, cb, pa.ao_start[ia], pb.ao_start[ib], nao),
+            ))
+        return classes
+
+    def _build_quartet_classes(self):
+        classes = []
+        nao = self.nao
+        for ls in itertools.product(sorted(self._prim), repeat=4):
+            la, lb, lc, ld = ls
+            prims = [self._prim[l] for l in ls]
+            sizes = [len(p.exp) for p in prims]
+            grids = np.meshgrid(*[np.arange(n) for n in sizes], indexing="ij")
+            idx = [g.ravel() for g in grids]
+            ncarts = [(l + 1) * (l + 2) // 2 for l in ls]
+            comp = [np.arange(c, dtype=np.int64) for c in ncarts]
+            ao = [p.ao_start[i].astype(np.int64) for p, i in zip(prims, idx)]
+            n = len(idx[0])
+            flat = np.zeros((n,) + tuple(ncarts), dtype=np.int64)
+            flat += (ao[0][:, None, None, None, None]
+                     + comp[0][None, :, None, None, None]) * nao**3
+            flat += (ao[1][:, None, None, None, None]
+                     + comp[1][None, None, :, None, None]) * nao**2
+            flat += (ao[2][:, None, None, None, None]
+                     + comp[2][None, None, None, :, None]) * nao
+            flat += (ao[3][:, None, None, None, None]
+                     + comp[3][None, None, None, None, :])
+
+            # static gather table mapping flat R (L+1)^3 -> M[TB, TK]
+            L = la + lb + lc + ld
+            nb, nk = la + lb + 1, lc + ld + 1
+            table = np.zeros((nb**3, nk**3), dtype=np.int32)
+            for bi, (t, u, v) in enumerate(
+                    itertools.product(range(nb), repeat=3)):
+                for ki, (x, y, z) in enumerate(
+                        itertools.product(range(nk), repeat=3)):
+                    table[bi, ki] = ((t + x) * (L + 1) + (u + y)) * (L + 1) \
+                        + (v + z)
+            classes.append(_QuartetClass(
+                ls=ls,
+                atoms=tuple(p.atom[i] for p, i in zip(prims, idx)),
+                exps=tuple(p.exp[i] for p, i in zip(prims, idx)),
+                cc=(prims[0].coef[idx[0]] * prims[1].coef[idx[1]]
+                    * prims[2].coef[idx[2]] * prims[3].coef[idx[3]]),
+                scatter=flat.reshape(n, -1).astype(
+                    np.int32 if nao**4 < 2**31 else np.int64),
+                conv_table=table.reshape(-1),
+            ))
+        return classes
+
+    # ------------------------------------------------------------------
+    # geometry-dependent helpers
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _pair_E(A, B, a, b, la, lb, extra=0):
+        """Gaussian-product center and dense per-dimension E tensors.
+
+        Returns p (n,), P (n,3), E list of 3 arrays
+        (n, la+1, lb+extra+1, la+lb+extra+1).
+        """
+        p = a + b
+        P = (a[:, None] * A + b[:, None] * B) / p[:, None]
+        mu = a * b / p
+        inv_2p = 0.5 / p
+        E = []
+        for d in range(3):
+            AB = A[:, d] - B[:, d]
+            E.append(hermite_E_dense(la, lb + extra, P[:, d] - A[:, d],
+                                     P[:, d] - B[:, d], inv_2p,
+                                     mu * AB * AB))
+        return p, P, E
+
+    @staticmethod
+    def _gather_comp(E, ta, tb, t):
+        """E[(n, i, j, t)] -> (n, ca, cb) for static component tables."""
+        return E[:, ta[:, None], tb[None, :], t]
+
+    def _scatter_pairs(self, per_class_vals):
+        nao = self.nao
+        out = jnp.zeros(nao * nao, dtype=per_class_vals[0][1].dtype)
+        for cls, vals in per_class_vals:
+            out = out.at[cls.scatter.reshape(-1)].add(vals.reshape(-1))
+        return out.reshape(nao, nao)
+
+    # ------------------------------------------------------------------
+    # public integrals (pure functions of coords)
+    # ------------------------------------------------------------------
+    def overlap(self, coords):
+        vals = []
+        for cls in self._pairs:
+            p, _, E = self._pair_E(coords[cls.atom_a], coords[cls.atom_b],
+                                   cls.a, cls.b, cls.la, cls.lb)
+            pref = (jnp.pi / p) ** 1.5 * cls.cc
+            (ax, ay, az), (bx, by, bz) = _comp_tables(cls.la), _comp_tables(cls.lb)
+            block = (self._gather_comp(E[0], ax, bx, 0)
+                     * self._gather_comp(E[1], ay, by, 0)
+                     * self._gather_comp(E[2], az, bz, 0))
+            vals.append((cls, block * pref[:, None, None]))
+        return self._scatter_pairs(vals)
+
+    def kinetic(self, coords):
+        vals = []
+        for cls in self._pairs:
+            p, _, E = self._pair_E(coords[cls.atom_a], coords[cls.atom_b],
+                                   cls.a, cls.b, cls.la, cls.lb, extra=2)
+            b = cls.b[:, None, None]
+            pref = (jnp.pi / p) ** 1.5 * cls.cc
+            (ax, ay, az), (bx, by, bz) = _comp_tables(cls.la), _comp_tables(cls.lb)
+
+            def s_and_k(Ed, ta, tb):
+                s0 = self._gather_comp(Ed, ta, tb, 0)
+                # j+2 entry always exists (extra=2)
+                sp2 = Ed[:, ta[:, None], (tb + 2)[None, :], 0]
+                jj = jnp.asarray(tb, dtype=s0.dtype)[None, None, :]
+                k = -2.0 * b * b * sp2 + b * (2.0 * jj + 1.0) * s0
+                if tb.max() >= 2:
+                    # j-2 entry, masked where j < 2
+                    tbm2 = np.maximum(tb - 2, 0)
+                    sm2 = Ed[:, ta[:, None], tbm2[None, :], 0]
+                    mask = (tb >= 2).astype(np.float64)[None, None, :]
+                    k = k - 0.5 * jj * (jj - 1.0) * sm2 * mask
+                return s0, k
+
+            sx, kx = s_and_k(E[0], ax, bx)
+            sy, ky = s_and_k(E[1], ay, by)
+            sz, kz = s_and_k(E[2], az, bz)
+            block = kx * sy * sz + sx * ky * sz + sx * sy * kz
+            vals.append((cls, block * pref[:, None, None]))
+        return self._scatter_pairs(vals)
+
+    def _E3(self, E, la, lb):
+        """Dense bra/ket angular tensor (n, ca, cb, nt, nt, nt) flattened to
+        (n, ca*cb, nt^3), nt = la + lb + 1."""
+        (ax, ay, az), (bx, by, bz) = _comp_tables(la), _comp_tables(lb)
+        Ex = E[0][:, ax[:, None], bx[None, :], :]   # (n, ca, cb, nt)
+        Ey = E[1][:, ay[:, None], by[None, :], :]
+        Ez = E[2][:, az[:, None], bz[None, :], :]
+        E3 = (Ex[..., :, None, None] * Ey[..., None, :, None]
+              * Ez[..., None, None, :])
+        n, ca, cb = E3.shape[0], E3.shape[1], E3.shape[2]
+        return E3.reshape(n, ca * cb, -1)
+
+    def nuclear(self, coords):
+        """Nuclear-attraction matrix."""
+        Z = jnp.asarray(self.charges)
+        vals = []
+        for cls in self._pairs:
+            p, P, E = self._pair_E(coords[cls.atom_a], coords[cls.atom_b],
+                                   cls.a, cls.b, cls.la, cls.lb)
+            L = cls.la + cls.lb
+            PC = P[:, None, :] - coords[None, :, :]   # (n, natm, 3)
+            Rd = hermite_R_dense(L, p[:, None], PC)   # (n, natm, L+1,L+1,L+1)
+            ZR = jnp.einsum("c,nctuv->ntuv", Z, Rd).reshape(Rd.shape[0], -1)
+            E3 = self._E3(E, cls.la, cls.lb)          # (n, cab, (L+1)^3)
+            pref = (2.0 * jnp.pi / p) * cls.cc
+            block = jnp.einsum("nbt,nt->nb", E3, ZR)
+            ca = (cls.la + 1) * (cls.la + 2) // 2
+            cb = (cls.lb + 1) * (cls.lb + 2) // 2
+            block = block.reshape(-1, ca, cb)
+            vals.append((cls, -block * pref[:, None, None]))
+        return self._scatter_pairs(vals)
+
+    def hcore(self, coords):
+        return self.kinetic(coords) + self.nuclear(coords)
+
+    def dipole(self, coords, origin):
+        """Dipole (position) integrals <a| r - origin |b>, shape (3, nao, nao).
+
+        Reference parity: mol.intor_symmetric("int1e_r") with common origin
+        (scripts/MD/Zundel_thermodynamics/continuation/
+        04_Zundel_continuation_MD.py:81-84).
+        """
+        origin = jnp.asarray(origin)
+        comps = []
+        for d_out in range(3):
+            vals = []
+            for cls in self._pairs:
+                p, P, E = self._pair_E(coords[cls.atom_a], coords[cls.atom_b],
+                                       cls.a, cls.b, cls.la, cls.lb)
+                pref = (jnp.pi / p) ** 1.5 * cls.cc
+                XPC = (P[:, d_out] - origin[d_out])[:, None, None]
+                (ax, ay, az) = _comp_tables(cls.la)
+                (bx, by, bz) = _comp_tables(cls.lb)
+                tabs = [(ax, bx), (ay, by), (az, bz)]
+                factors = []
+                for d in range(3):
+                    ta, tb = tabs[d]
+                    s0 = self._gather_comp(E[d], ta, tb, 0)
+                    if d == d_out:
+                        if cls.la + cls.lb >= 1:
+                            s1 = self._gather_comp(E[d], ta, tb, 1)
+                        else:
+                            s1 = jnp.zeros_like(s0)
+                        factors.append(s1 + XPC * s0)
+                    else:
+                        factors.append(s0)
+                block = factors[0] * factors[1] * factors[2]
+                vals.append((cls, block * pref[:, None, None]))
+            comps.append(self._scatter_pairs(vals))
+        return jnp.stack(comps)
+
+    def eri(self, coords):
+        """Two-electron repulsion integrals (ij|kl), chemist notation,
+        full (nao, nao, nao, nao) tensor."""
+        nao = self.nao
+        out = None
+        for cls in self._quartets:
+            la, lb, lc, ld = cls.ls
+            a, b, c, d = cls.exps
+            p, P, Ebra = self._pair_E(coords[cls.atoms[0]],
+                                      coords[cls.atoms[1]], a, b, la, lb)
+            q, Q, Eket = self._pair_E(coords[cls.atoms[2]],
+                                      coords[cls.atoms[3]], c, d, lc, ld)
+            alpha = p * q / (p + q)
+            L = la + lb + lc + ld
+            Rd = hermite_R_dense(L, alpha, P - Q)       # (n, L+1,L+1,L+1)
+            n = Rd.shape[0]
+            M = Rd.reshape(n, -1)[:, cls.conv_table]    # (n, TB*TK)
+            nb3, nk3 = (la + lb + 1) ** 3, (lc + ld + 1) ** 3
+            M = M.reshape(n, nb3, nk3)
+
+            E3b = self._E3(Ebra, la, lb)                # (n, cab, nb3)
+            E3k = self._E3(Eket, lc, ld)                # (n, ckd, nk3)
+            # fold the (-1)^(tau+nu+phi) parity into the ket tensor
+            par = np.array([
+                (-1.0) ** (t + u + v)
+                for t, u, v in itertools.product(range(lc + ld + 1), repeat=3)
+            ])
+            E3k = E3k * par[None, None, :]
+
+            pref = (2.0 * jnp.pi ** 2.5 / (p * q * jnp.sqrt(p + q))) * cls.cc
+            block = jnp.einsum("nbt,ntk,nck->nbc", E3b, M, E3k)
+            block = block * pref[:, None, None]
+            if out is None:
+                out = jnp.zeros(nao ** 4, dtype=block.dtype)
+            out = out.at[cls.scatter.reshape(-1)].add(block.reshape(-1))
+        return out.reshape(nao, nao, nao, nao)
+
+    def energy_nuc(self, coords):
+        Z = jnp.asarray(self.charges)
+        diff = coords[:, None, :] - coords[None, :, :]
+        dist2 = jnp.sum(diff * diff, axis=-1) + jnp.eye(self.natm)
+        inv = (1.0 - jnp.eye(self.natm)) / jnp.sqrt(dist2)
+        return 0.5 * jnp.sum(Z[:, None] * Z[None, :] * inv)
+
+    def compute(self, coords):
+        """All integrals in one call, as a pytree for downstream jit."""
+        return IntegralBundle(
+            ovlp=self.overlap(coords),
+            hcore=self.hcore(coords),
+            eri=self.eri(coords),
+            enuc=self.energy_nuc(coords),
+        )
+
+    @partial(jax.jit, static_argnums=0)
+    def compute_jit(self, coords):
+        """Jitted variant of compute (the unrolled recursions make eager
+        dispatch prohibitively slow; always prefer this or embed compute()
+        in a larger jitted function)."""
+        return self.compute(coords)
+
+    def __hash__(self):
+        # static structure is fully determined by the molecule identity
+        return hash((self.mol.symbols, self.mol.basis, self.mol.charge,
+                     self.mol.spin))
+
+    def __eq__(self, other):
+        return (isinstance(other, IntegralEngine)
+                and self.mol.symbols == other.mol.symbols
+                and self.mol.basis == other.mol.basis
+                and self.mol.charge == other.mol.charge
+                and self.mol.spin == other.mol.spin)

@@ -1,0 +1,150 @@
+"""Static shell/primitive structure derived from a Molecule.
+
+The split matters for TPU: everything here is geometry-independent (shell
+composition, contraction coefficients, AO index maps) and is precomputed on
+the host with numpy. The jitted integral kernels receive only the nuclear
+coordinates as traced inputs, so one XLA compilation covers all geometries
+of a molecule — the key to batched PES evaluation and on-device MD.
+
+AO ordering: atom-major, shells in basis-table order, cartesian components
+x-major (px, py, pz). This replaces pyscf's AO ordering; all quantities the
+framework stores (t-RDMs, overlap) are in the OAO basis derived from this
+ordering, which is internally consistent across the whole pipeline.
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..basis_data import get_element_basis
+from .mcmurchie import cart_components
+
+
+def _double_factorial(n):
+    out = 1
+    while n > 1:
+        out *= n
+        n -= 2
+    return out
+
+
+def _primitive_norm(a, l):
+    """Normalization of a cartesian primitive x^l exp(-a r^2) (component
+    (l,0,0); all components share this norm for l <= 1)."""
+    return (
+        (2.0 * a / np.pi) ** 0.75
+        * np.sqrt((4.0 * a) ** l / _double_factorial(2 * l - 1))
+    )
+
+
+@dataclass(frozen=True)
+class Shell:
+    atom: int
+    l: int
+    exps: np.ndarray
+    coefs: np.ndarray  # include primitive norms and contracted renorm
+    ao_start: int
+
+    @property
+    def ncart(self):
+        return (self.l + 1) * (self.l + 2) // 2
+
+
+@dataclass(frozen=True)
+class ShellStructure:
+    shells: tuple
+    nao: int
+    natm: int
+
+    @property
+    def max_l(self):
+        return max(s.l for s in self.shells)
+
+
+def build_shell_structure(mol):
+    """Expand a Molecule into normalized contracted shells with AO offsets."""
+    shells = []
+    ao = 0
+    for atom_idx, symbol in enumerate(mol.symbols):
+        for (l, exps, coefs) in get_element_basis(mol.basis, symbol):
+            if l > 1:
+                raise NotImplementedError(
+                    "shells with l >= 2 need per-component normalization; "
+                    "only s/p supported so far")
+            exps = np.asarray(exps, dtype=np.float64)
+            coefs = np.asarray(coefs, dtype=np.float64)
+            # coefficients multiply normalized primitives
+            cn = coefs * np.array([_primitive_norm(a, l) for a in exps])
+            # renormalize the contracted function to unit self-overlap
+            # (pyscf does the same in Mole.build)
+            p = exps[:, None] + exps[None, :]
+            ovlp = (
+                (np.pi / p) ** 1.5
+                * _double_factorial(2 * l - 1)
+                / (2.0 * p) ** l
+            )
+            self_ovlp = np.einsum("i,j,ij->", cn, cn, ovlp)
+            cn = cn / np.sqrt(self_ovlp)
+            shells.append(Shell(atom=atom_idx, l=l, exps=exps, coefs=cn,
+                                ao_start=ao))
+            ao += (l + 1) * (l + 2) // 2
+    return ShellStructure(shells=tuple(shells), nao=ao, natm=mol.natm)
+
+
+@dataclass(frozen=True)
+class PrimClass:
+    """A batch of primitive shells sharing angular momentum l.
+
+    Arrays are parallel over primitives; each contracted shell contributes
+    one entry per primitive exponent, all mapping to the same AO block.
+    """
+    l: int
+    atom: np.ndarray       # (n,) atom index of the center
+    exp: np.ndarray        # (n,)
+    coef: np.ndarray       # (n,) normalized contraction coefficient
+    ao_start: np.ndarray   # (n,) AO offset of the parent shell
+
+
+def primitive_classes(structure):
+    """Group all primitives by angular momentum."""
+    by_l = {}
+    for sh in structure.shells:
+        d = by_l.setdefault(sh.l, {"atom": [], "exp": [], "coef": [], "ao": []})
+        for a, c in zip(sh.exps, sh.coefs):
+            d["atom"].append(sh.atom)
+            d["exp"].append(a)
+            d["coef"].append(c)
+            d["ao"].append(sh.ao_start)
+    return {
+        l: PrimClass(
+            l=l,
+            atom=np.array(d["atom"], dtype=np.int32),
+            exp=np.array(d["exp"], dtype=np.float64),
+            coef=np.array(d["coef"], dtype=np.float64),
+            ao_start=np.array(d["ao"], dtype=np.int32),
+        )
+        for l, d in by_l.items()
+    }
+
+
+def pair_scatter_indices(ca, cb, ao_a, ao_b, nao):
+    """Flattened scatter indices into an (nao, nao) matrix for a batch of
+    primitive pairs with ncart counts ca, cb. Shape (n, ca, cb), int32."""
+    comp_a = np.arange(ca, dtype=np.int32)
+    comp_b = np.arange(cb, dtype=np.int32)
+    rows = ao_a[:, None, None] + comp_a[None, :, None]
+    cols = ao_b[:, None, None] + comp_b[None, None, :]
+    return rows * np.int32(nao) + cols
+
+
+def cartesian_pairs(na, nb):
+    """Index grids for the cross product of two primitive lists."""
+    ia, ib = np.meshgrid(np.arange(na), np.arange(nb), indexing="ij")
+    return ia.ravel(), ib.ravel()
+
+
+__all__ = [
+    "Shell", "ShellStructure", "PrimClass",
+    "build_shell_structure", "primitive_classes",
+    "pair_scatter_indices", "cartesian_pairs", "cart_components",
+]
