@@ -1,0 +1,236 @@
+"""Eigenvector-continuation core: subspace Hamiltonian/overlap assembly and
+the generalized eigenvalue solve.
+
+Reference parity (evcont/ab_initio_eigenvector_continuation.py):
+  * approximate_ground_state       (:12-90)   -> approximate_ground_state
+  * approximate_multistate         (:93-175)  -> approximate_multistate
+  * the four t-RDM storage layouts (:41-71), distinguished by ndim:
+      6d (Ntrn, Ntrn, n, n, n, n)           no symmetry
+      5d (Npair, n, n, n, n)                data (pair) symmetry
+      3d (Ntrn, Ntrn, n^2(n^2+1)/2)         exchange symmetry
+      2d (Npair, n^2(n^2+1)/2)              both
+  * predicted RDMs from the subspace eigenvector
+    (evcont/ab_initio_gradients_loewdin.py:343-361)
+
+Design divergences (TPU-first):
+  * The generalized eigenproblem is solved by spectral whitening of S with a
+    pseudo-inverse cutoff (static shapes, jit-safe, robust to the nearly
+    linearly dependent training overlaps that appear as the training set
+    grows) instead of scipy.linalg.eigh's Cholesky reduction, which fails
+    outright for singular S.
+  * lowest_states carries a custom JVP implementing the Hellmann-Feynman
+    derivative dE_k = c_k^T (dH - E_k dS) c_k (with c_k^T S c_k = 1). This
+    makes jax.grad of the continuation energy reproduce the reference's
+    hand-assembled analytic nuclear gradient exactly. The eigenvector
+    tangent is defined as zero: quantities built from the eigenvector
+    (predicted RDMs, observables) are treated as constants under
+    differentiation, matching the generalized Hellmann-Feynman assumption
+    in the reference's force expression.
+  * hermitian=False (scipy.linalg.eig, reference :78) is host-only and not
+    differentiable; the default hermitian path is fully on-device.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .oao import (
+    compress_exchange,
+    loewdin_trafo,
+    pair_compression_maps,
+    restore_exchange,
+    transform_integrals,
+)
+
+# numerical floor for whitening the training-state overlap matrix
+GEP_CUTOFF = 1.0e-12
+
+
+# ---------------------------------------------------------------------------
+# subspace Hamiltonian assembly
+# ---------------------------------------------------------------------------
+def assemble_hamiltonian(h1, h2, one_rdm, two_rdm):
+    """H[a,b] = sum_ij gamma[a,b,i,j] h1[ij] + 1/2 sum Gamma[a,b,ijkl] h2[ijkl]
+    for any of the four storage layouts. Returns the full symmetric matrix
+    (the reference leaves the upper triangle unset for pair-compressed
+    layouts because scipy's eigh only reads the lower triangle; here the
+    whitened solve consumes the full matrix)."""
+    ntrain = one_rdm.shape[0]
+    H = jnp.einsum("abij,ij->ab", one_rdm, h1)
+
+    ndim = two_rdm.ndim
+    if ndim == 6:
+        H = H + 0.5 * jnp.einsum("abijkl,ijkl->ab", two_rdm, h2)
+    elif ndim == 5:
+        Htwo = 0.5 * jnp.einsum("pijkl,ijkl->p", two_rdm, h2)
+        H = H + _unpack_pairs(Htwo, ntrain, H.dtype)
+    elif ndim == 3:
+        h2c = compress_exchange(h2, diag_multiplier=0.5)
+        H = H + jnp.einsum("abp,p->ab", two_rdm, h2c)
+    elif ndim == 2:
+        h2c = compress_exchange(h2, diag_multiplier=0.5)
+        Htwo = two_rdm @ h2c
+        H = H + _unpack_pairs(Htwo, ntrain, H.dtype)
+    else:
+        raise ValueError(f"unsupported two_rdm rank {ndim}")
+    return H
+
+
+def _unpack_pairs(packed, ntrain, dtype):
+    """Scatter a packed lower-triangular pair vector into a full symmetric
+    (ntrain, ntrain) matrix."""
+    rows, cols = pair_compression_maps(ntrain)
+    M = jnp.zeros((ntrain, ntrain), dtype=dtype)
+    M = M.at[rows, cols].set(packed)
+    return M + M.T - jnp.diag(jnp.diag(M))
+
+
+# ---------------------------------------------------------------------------
+# generalized eigensolve
+# ---------------------------------------------------------------------------
+def solve_gep(H, S, cutoff=GEP_CUTOFF):
+    """All eigenpairs of H c = E S c via spectral whitening of S.
+
+    Returns (energies ascending, coefficients with columns c_k, S-normalized
+    on the retained subspace). Modes of S below `cutoff` (relative to the
+    largest eigenvalue) are projected out; their slots surface as zero
+    eigenvalues, which sit above every physical (negative) electronic
+    energy and therefore never pollute root selection."""
+    s, U = jnp.linalg.eigh(S)
+    thresh = cutoff * jnp.max(jnp.abs(s))
+    inv_sqrt = jnp.where(s > thresh, 1.0 / jnp.sqrt(jnp.maximum(s, thresh)), 0.0)
+    X = U * inv_sqrt
+    A = X.T @ H @ X
+    A = 0.5 * (A + A.T)
+    w, Y = jnp.linalg.eigh(A)
+    C = X @ Y
+    return w, C
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(2,))
+def lowest_states(H, S, nroots=1):
+    """The lowest `nroots` generalized eigenpairs, with Hellmann-Feynman
+    derivatives for the energies (see module docstring).
+
+    Returns (energies (nroots,), vectors (nroots, ntrain))."""
+    w, C = solve_gep(H, S)
+    return w[:nroots], C[:, :nroots].T
+
+
+@lowest_states.defjvp
+def _lowest_states_jvp(nroots, primals, tangents):
+    H, S = primals
+    dH, dS = tangents
+    w, C = solve_gep(H, S)
+    E = w[:nroots]
+    V = C[:, :nroots].T                       # (nroots, ntrain)
+    dE = jnp.einsum("ka,ab,kb->k", V, dH, V) \
+        - E * jnp.einsum("ka,ab,kb->k", V, dS, V)
+    return (E, V), (dE, jnp.zeros_like(V))
+
+
+# ---------------------------------------------------------------------------
+# reference-parity front doors
+# ---------------------------------------------------------------------------
+def _eig_host(H, S):
+    """Non-hermitian generalized solve (reference hermitian=False branch,
+    ab_initio_eigenvector_continuation.py:78-88): host-only scipy.eig with
+    the reference's imaginary-eigenvalue filter."""
+    from scipy.linalg import eig
+
+    vals, vecs = eig(np.asarray(H), np.asarray(S))
+    valid = np.abs(vals.imag) < 1.0e-5
+    order = np.argsort(vals[valid].real)
+    return vals[valid].real[order], vecs[:, valid][:, order].real
+
+
+def approximate_ground_state(h1, h2, one_rdm, two_rdm, S, hermitian=True):
+    """Subspace ground-state energy and eigenvector (electronic part only).
+
+    Reference: approximate_ground_state
+    (ab_initio_eigenvector_continuation.py:12-90)."""
+    H = assemble_hamiltonian(h1, h2, one_rdm, two_rdm)
+    if not hermitian:
+        vals, vecs = _eig_host(H, S)
+        return vals[0], vecs[:, 0]
+    E, V = lowest_states(H, S, 1)
+    return E[0], V[0]
+
+
+def approximate_multistate(h1, h2, one_rdm, two_rdm, S, nroots=1,
+                           hermitian=True):
+    """Lowest nroots subspace states (reference: approximate_multistate,
+    ab_initio_eigenvector_continuation.py:93-175)."""
+    H = assemble_hamiltonian(h1, h2, one_rdm, two_rdm)
+    if not hermitian:
+        vals, vecs = _eig_host(H, S)
+        assert vals.shape[0] >= nroots
+        return vals[:nroots], vecs[:, :nroots].T
+    assert S.shape[0] >= nroots
+    return lowest_states(H, S, nroots)
+
+
+# ---------------------------------------------------------------------------
+# predicted RDMs (for observables: dipole moments, Mulliken charges)
+# ---------------------------------------------------------------------------
+def predicted_rdms(vec, one_rdm, two_rdm, norb):
+    """Predicted one- and two-body RDMs from the subspace eigenvector.
+
+    Reference: evcont/ab_initio_gradients_loewdin.py:343-361. Handles all
+    four storage layouts; always returns the restored 4-index 2-RDM."""
+    rdm1 = jnp.einsum("a,b,abij->ij", vec, vec, one_rdm)
+
+    ndim = two_rdm.ndim
+    ntrain = vec.shape[0]
+    if ndim in (5, 2):
+        # pair-compressed: weight off-diagonal pairs twice
+        mat = 2.0 * jnp.outer(vec, vec)
+        mat = mat - 0.5 * jnp.diag(jnp.diag(mat))
+        rows, cols = pair_compression_maps(ntrain)
+        weights = mat[rows, cols]
+        rdm2 = jnp.tensordot(weights, two_rdm, axes=1)
+    else:
+        rdm2 = jnp.einsum("a,b,ab...->...", vec, vec, two_rdm)
+
+    if rdm2.ndim == 1:
+        rdm2 = restore_exchange(rdm2, norb)
+    return rdm1, rdm2
+
+
+# ---------------------------------------------------------------------------
+# OAO wrappers operating on a geometry via the integral engine
+# ---------------------------------------------------------------------------
+def oao_integrals(engine, coords):
+    """h1, h2 in the Löwdin-orthogonalized AO basis at a geometry, plus the
+    nuclear repulsion (reference: get_integrals(mol, get_basis(mol)),
+    electron_integral_utils.py:122-138)."""
+    S_ao = engine.overlap(coords)
+    trafo = loewdin_trafo(S_ao)
+    h1 = trafo.T @ engine.hcore(coords) @ trafo
+    h2 = engine.eri(coords)
+    for _ in range(4):
+        h2 = jnp.tensordot(h2, trafo, axes=[[0], [0]])
+    return h1, h2, engine.energy_nuc(coords)
+
+
+def approximate_ground_state_OAO(engine, coords, one_rdm, two_rdm, S,
+                                 hermitian=True):
+    """Total ground-state energy (electronic + nuclear) at a geometry
+    (reference: approximate_ground_state_OAO,
+    ab_initio_eigenvector_continuation.py:178-211)."""
+    h1, h2, enuc = oao_integrals(engine, coords)
+    en, vec = approximate_ground_state(h1, h2, one_rdm, two_rdm, S,
+                                       hermitian=hermitian)
+    return en + enuc, vec
+
+
+def approximate_multistate_OAO(engine, coords, one_rdm, two_rdm, S, nroots=1,
+                               hermitian=True):
+    """Total multistate energies at a geometry (reference:
+    approximate_multistate_OAO, ab_initio_eigenvector_continuation.py:214-250)."""
+    h1, h2, enuc = oao_integrals(engine, coords)
+    en, vecs = approximate_multistate(h1, h2, one_rdm, two_rdm, S,
+                                      nroots=nroots, hermitian=hermitian)
+    return en + enuc, vecs

@@ -1,0 +1,160 @@
+"""ContinuationModel: the device-resident inference engine.
+
+This is the TPU-native replacement for the reference's per-call chain
+  get_energy_with_grad / approximate_ground_state_OAO
+  (evcont/ab_initio_gradients_loewdin.py:308-379,
+   evcont/ab_initio_eigenvector_continuation.py:178-211),
+which round-trips Python -> libcint -> NumPy -> scipy for every geometry.
+
+Here the full pipeline — integrals, Löwdin transform, subspace H assembly,
+generalized eigensolve, nuclear gradient — is one jitted JAX function of the
+nuclear coordinates:
+
+    E(R)        = model.potential(R)
+    E, F        = model.potential_and_forces(R)      # F = -dE/dR, autodiff
+    E_batch     = model.potential_batch(R_batch)     # vmap over geometries
+    E_k(R)      = model.multistate(R, nroots)
+
+Forces come from jax.grad through the whole pipeline; the custom JVPs on
+loewdin_trafo (Daleckii-Krein) and lowest_states (Hellmann-Feynman)
+reproduce the reference's hand-assembled analytic gradients exactly
+(validated against finite differences in tests/test_forces.py).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .continuation import (
+    approximate_ground_state,
+    approximate_multistate,
+    assemble_hamiltonian,
+    lowest_states,
+    oao_integrals,
+    predicted_rdms,
+)
+from .integrals.engine import IntegralEngine
+from .molecule import Molecule
+
+
+class ContinuationModel:
+    """Bundles a molecule's integral engine with a t-RDM training set.
+
+    The t-RDM arrays are traced arguments (not compile-time constants), so
+    growing the training set only recompiles when the *shapes* change, and
+    sharded arrays pass straight through (see parallel/).
+    """
+
+    def __init__(self, mol: Molecule, overlap, one_rdm, two_rdm,
+                 hermitian=True):
+        self.mol = mol
+        self.engine = IntegralEngine(mol)
+        self.overlap = jnp.asarray(overlap)
+        self.one_rdm = jnp.asarray(one_rdm)
+        self.two_rdm = jnp.asarray(two_rdm)
+        self.hermitian = hermitian
+        if not hermitian:
+            # the non-hermitian path needs host scipy.eig; jit paths below
+            # are hermitian-only (reference default)
+            raise NotImplementedError(
+                "hermitian=False is available via "
+                "continuation.approximate_ground_state on host arrays")
+
+    @classmethod
+    def from_backend(cls, mol, backend, **kw):
+        return cls(mol, backend.overlap, backend.one_rdm, backend.two_rdm,
+                   **kw)
+
+    # -- core jitted computations (static self via engine hashing) ----------
+    @partial(jax.jit, static_argnums=0)
+    def _energy(self, coords, overlap, one_rdm, two_rdm):
+        h1, h2, enuc = oao_integrals(self.engine, coords)
+        en, _ = approximate_ground_state(h1, h2, one_rdm, two_rdm, overlap)
+        return en + enuc
+
+    @partial(jax.jit, static_argnums=0)
+    def _energy_and_grad(self, coords, overlap, one_rdm, two_rdm):
+        def f(c):
+            return self._energy_raw(c, overlap, one_rdm, two_rdm)
+        return jax.value_and_grad(f)(coords)
+
+    def _energy_raw(self, coords, overlap, one_rdm, two_rdm):
+        h1, h2, enuc = oao_integrals(self.engine, coords)
+        en, _ = approximate_ground_state(h1, h2, one_rdm, two_rdm, overlap)
+        return en + enuc
+
+    @partial(jax.jit, static_argnums=0)
+    def _energy_batch(self, coords_batch, overlap, one_rdm, two_rdm):
+        return jax.vmap(
+            lambda c: self._energy_raw(c, overlap, one_rdm, two_rdm)
+        )(coords_batch)
+
+    @partial(jax.jit, static_argnums=0)
+    def _energy_and_grad_batch(self, coords_batch, overlap, one_rdm, two_rdm):
+        def f(c):
+            return self._energy_raw(c, overlap, one_rdm, two_rdm)
+        return jax.vmap(jax.value_and_grad(f))(coords_batch)
+
+    @partial(jax.jit, static_argnums=(0, 2))
+    def _multistate(self, coords, nroots, overlap, one_rdm, two_rdm):
+        h1, h2, enuc = oao_integrals(self.engine, coords)
+        en, vecs = approximate_multistate(h1, h2, one_rdm, two_rdm, overlap,
+                                          nroots=nroots)
+        return en + enuc, vecs
+
+    @partial(jax.jit, static_argnums=0)
+    def _state(self, coords, overlap, one_rdm, two_rdm):
+        """Energy, subspace eigenvector, and predicted RDMs (for
+        observables; reference: return_density_matrices=True in
+        get_energy_with_grad, ab_initio_gradients_loewdin.py:308-373)."""
+        h1, h2, enuc = oao_integrals(self.engine, coords)
+        en, vec = approximate_ground_state(h1, h2, one_rdm, two_rdm, overlap)
+        rdm1, rdm2 = predicted_rdms(vec, one_rdm, two_rdm, self.engine.nao)
+        return en + enuc, vec, rdm1, rdm2
+
+    # -- public API ----------------------------------------------------------
+    def potential(self, coords):
+        """Total energy at a geometry (Bohr)."""
+        return self._energy(jnp.asarray(coords), self.overlap,
+                            self.one_rdm, self.two_rdm)
+
+    def potential_and_forces(self, coords):
+        """(E, F) with F = -dE/dR, fully on device."""
+        e, g = self._energy_and_grad(jnp.asarray(coords), self.overlap,
+                                     self.one_rdm, self.two_rdm)
+        return e, -g
+
+    def potential_batch(self, coords_batch):
+        """Energies for a batch of geometries (vmapped; the TPU throughput
+        path for PES scans and trajectory re-prediction)."""
+        return self._energy_batch(jnp.asarray(coords_batch), self.overlap,
+                                  self.one_rdm, self.two_rdm)
+
+    def potential_and_forces_batch(self, coords_batch):
+        e, g = self._energy_and_grad_batch(
+            jnp.asarray(coords_batch), self.overlap, self.one_rdm,
+            self.two_rdm)
+        return e, -g
+
+    def multistate(self, coords, nroots=1):
+        """Lowest nroots total energies and subspace eigenvectors."""
+        return self._multistate(jnp.asarray(coords), nroots, self.overlap,
+                                self.one_rdm, self.two_rdm)
+
+    def state(self, coords):
+        """(E, subspace vector, predicted 1-RDM, predicted 2-RDM in OAO)."""
+        return self._state(jnp.asarray(coords), self.overlap, self.one_rdm,
+                           self.two_rdm)
+
+    # convenience for the MD / active-learning drivers
+    def energy_fn(self):
+        ov, r1, r2 = self.overlap, self.one_rdm, self.two_rdm
+        engine = self.engine
+
+        def f(coords):
+            h1, h2, enuc = oao_integrals(engine, coords)
+            en, _ = approximate_ground_state(h1, h2, r1, r2, ov)
+            return en + enuc
+        return f

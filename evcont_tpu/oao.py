@@ -1,0 +1,136 @@
+"""Löwdin symmetric orthogonalization (OAO basis) and integral transforms.
+
+Reference parity:
+  * get_loewdin_trafo          (evcont/electron_integral_utils.py:6-18)
+  * transform_integrals        (evcont/electron_integral_utils.py:21-35)
+  * compress/restore_electron_exchange_symmetry (":38-88")
+  * loewdin_trafo_grad         (evcont/ab_initio_gradients_loewdin.py:41-112)
+
+Design divergence (TPU-first): the reference differentiates the Löwdin
+transformation with explicit degenerate perturbation theory (rounding
+eigenvalues to 5 decimals and diagonalizing the perturbation inside each
+degenerate block). Here S^(-1/2) gets a custom JVP built on the
+Daleckii-Krein theorem for matrix functions: in the eigenbasis of S,
+
+    d f(S)_ij = f[s_i, s_j] * (V^T dS V)_ij,
+    f[x, y]   = (f(x) - f(y)) / (x - y),  f[x, x] = f'(x),
+
+and for f(x) = x^(-1/2) the divided difference has the closed form
+    f[x, y] = -1 / (sqrt(x) sqrt(y) (sqrt(x) + sqrt(y))),
+
+which is smooth for all positive eigenvalues *including degeneracies* — no
+rounding, no block diagonalization, exactly equal to the reference's
+degenerate PT result (the matrix function is well-defined even though the
+eigenvectors are not). This keeps the whole pipeline jit-safe with static
+shapes; symmetric H-chain geometries (degenerate overlap spectra) work
+without special-casing.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Löwdin pseudo-inverse cutoff, matching the reference's 1e-15
+# (evcont/electron_integral_utils.py:17)
+LOEWDIN_CUTOFF = 1.0e-15
+
+
+@jax.custom_jvp
+def loewdin_trafo(overlap_mat):
+    """S^(-1/2) via eigendecomposition with pseudo-inverse cutoff."""
+    vals, vecs = jnp.linalg.eigh(overlap_mat)
+    inv_sqrt = jnp.where(
+        vals > LOEWDIN_CUTOFF, 1.0 / jnp.sqrt(jnp.maximum(vals, LOEWDIN_CUTOFF)), 0.0
+    )
+    return (vecs * inv_sqrt) @ vecs.T
+
+
+@loewdin_trafo.defjvp
+def _loewdin_trafo_jvp(primals, tangents):
+    (S,), (dS,) = primals, tangents
+    vals, vecs = jnp.linalg.eigh(S)
+    sq = jnp.sqrt(jnp.maximum(vals, LOEWDIN_CUTOFF))
+    keep = vals > LOEWDIN_CUTOFF
+    inv_sqrt = jnp.where(keep, 1.0 / sq, 0.0)
+    primal_out = (vecs * inv_sqrt) @ vecs.T
+
+    # Daleckii-Krein divided-difference kernel for f(x) = x^(-1/2)
+    denom = sq[:, None] * sq[None, :] * (sq[:, None] + sq[None, :])
+    K = -1.0 / denom
+    # zero out modes below the pseudo-inverse cutoff (their contribution is
+    # defined to be 0, matching the reference's where() on eigenvalues)
+    mask = keep[:, None] & keep[None, :]
+    K = jnp.where(mask, K, 0.0)
+
+    dS_eig = vecs.T @ dS @ vecs
+    d_out = vecs @ (K * dS_eig) @ vecs.T
+    return primal_out, d_out
+
+
+def get_basis(bundle_ovlp):
+    """OAO basis from the AO overlap matrix. The canonical/split basis
+    choices (evcont/electron_integral_utils.py:91-119) live in
+    evcont_tpu.solvers.scf / basis_variants since they need an SCF solve."""
+    return loewdin_trafo(bundle_ovlp)
+
+
+def transform_integrals(h1, h2, trafo):
+    """AO -> orthogonal-basis transform of one-/two-electron integrals.
+
+    trafo has AO rows, MO columns: h1' = C^T h1 C. Two-electron transform is
+    four successive matmuls (MXU-friendly) rather than one 8-index einsum.
+    """
+    h1_t = trafo.T @ h1 @ trafo
+    # (ij|kl) -> (ab|cd): contract the leading AO axis four times; tensordot
+    # appends the new orbital axis last, so after four rounds the axis order
+    # is restored to (a, b, c, d).
+    h2_t = h2
+    for _ in range(4):
+        h2_t = jnp.tensordot(h2_t, trafo, axes=[[0], [0]])
+    return h1_t, h2_t
+
+
+def exchange_compression_maps(norb):
+    """Static index maps for electron-exchange-symmetry compression of a
+    (norb, norb, norb, norb) tensor viewed as (norb^2, norb^2)."""
+    n2 = norb * norb
+    rows, cols = np.tril_indices(n2)
+    diag_mask = (rows == cols)
+    return rows.astype(np.int32), cols.astype(np.int32), diag_mask
+
+
+def compress_exchange(h2, diag_multiplier=1.0):
+    """Pack a 4-index tensor with (ij)<->(kl) exchange symmetry into its
+    lower triangle over combined indices; optionally scale the diagonal
+    (reference: compress_electron_exchange_symmetry,
+    electron_integral_utils.py:38-66)."""
+    norb = h2.shape[-1]
+    n2 = norb * norb
+    rows, cols, diag_mask = exchange_compression_maps(norb)
+    flat = h2.reshape(h2.shape[:-4] + (n2, n2))
+    vals = flat[..., rows, cols]
+    scale = jnp.where(jnp.asarray(diag_mask), diag_multiplier, 1.0)
+    return vals * scale
+
+
+def restore_exchange(packed, norb):
+    """Inverse of compress_exchange (reference:
+    restore_electron_exchange_symmetry, electron_integral_utils.py:69-88)."""
+    n2 = norb * norb
+    rows, cols, _ = exchange_compression_maps(norb)
+    batch = packed.shape[:-1]
+    out = jnp.zeros(batch + (n2, n2), dtype=packed.dtype)
+    out = out.at[..., rows, cols].set(packed)
+    upper = jnp.swapaxes(out, -1, -2)
+    eye = jnp.eye(n2, dtype=packed.dtype)
+    out = out + upper * (1.0 - eye)
+    return out.reshape(batch + (norb, norb, norb, norb))
+
+
+def pair_compression_maps(ntrain):
+    """Static index maps for data-pair symmetry: (a, b) -> packed tril index
+    over training-state pairs (the reference's 'data symmetry' layouts)."""
+    rows, cols = np.tril_indices(ntrain)
+    return rows.astype(np.int32), cols.astype(np.int32)

@@ -1,0 +1,285 @@
+"""String-based full configuration interaction (direct CI).
+
+Replaces pyscf.fci.direct_spin0/direct_spin1 used by the reference for
+training-state generation (evcont/FCI_EVCont.py:17,70-71,121-123):
+  * FCI.kernel(h1, h2, norb, nelec, nroots)   -> FCISolver.kernel
+  * FCI.trans_rdm12(bra, ket, norb, nelec)    -> FCISolver.trans_rdm12
+
+Host-side training tool (numpy + scipy.sparse, f64): training states are
+computed once per geometry; only their t-RDMs flow to the device. The
+determinant basis is alpha-strings x beta-strings; single-excitation
+operators E_pq^sigma are precomputed sparse matrices, so the sigma build is
+sparse matmuls + one dense GEMM over the ERI — the Knowles-Handy scheme.
+
+Conventions:
+  * E_pq = sum_sigma p+_sigma q_sigma (spin-summed excitation).
+  * rdm1[p,q]     = <bra| E_pq |ket>
+  * rdm2[p,q,r,s] = <bra| E_pq E_rs - delta_qr E_ps |ket>  (chemist order)
+    so that  E = sum h_pq rdm1[p,q] + 1/2 sum (pq|rs) rdm2[p,q,r,s].
+  * spin='singlet' projects the CI matrix onto C = C^T each Davidson
+    iteration, the equivalent of pyscf's direct_spin0 sector restriction
+    (relevant for excited-state root ordering, FCI_EVCont.py:17).
+"""
+
+import itertools
+from dataclasses import dataclass
+
+import numpy as np
+import scipy.sparse as sp
+
+
+# ---------------------------------------------------------------------------
+# string machinery
+# ---------------------------------------------------------------------------
+def make_strings(norb, nelec):
+    """All nelec-in-norb occupation strings as sorted orbital tuples,
+    lexicographic order."""
+    return list(itertools.combinations(range(norb), nelec))
+
+
+def _string_index(strings):
+    return {s: i for i, s in enumerate(strings)}
+
+
+def excitation_matrices(norb, nelec):
+    """Sparse single-excitation matrices: E[p*norb+q] is the (Nstr, Nstr)
+    matrix of a+_p a_q restricted to one spin sector, with fermionic signs
+    for ascending-ordered strings."""
+    strings = make_strings(norb, nelec)
+    index = _string_index(strings)
+    nstr = len(strings)
+    rows = [[] for _ in range(norb * norb)]
+    cols = [[] for _ in range(norb * norb)]
+    vals = [[] for _ in range(norb * norb)]
+    for j, occ in enumerate(strings):
+        occ_set = set(occ)
+        for q in occ:
+            # remove q
+            kq = occ.index(q)
+            sign_q = (-1) ** kq
+            rest = occ[:kq] + occ[kq + 1:]
+            for p in range(norb):
+                if p != q and p in occ_set:
+                    continue
+                if p == q:
+                    new = occ
+                    sign = 1.0
+                else:
+                    kp = sum(1 for o in rest if o < p)
+                    sign = sign_q * ((-1) ** kp)
+                    new = tuple(sorted(rest + (p,)))
+                i = index[new]
+                key = p * norb + q
+                rows[key].append(i)
+                cols[key].append(j)
+                vals[key].append(float(sign))
+    mats = []
+    for key in range(norb * norb):
+        mats.append(sp.csr_matrix(
+            (vals[key], (rows[key], cols[key])), shape=(nstr, nstr)))
+    return strings, mats
+
+
+def occupation_table(strings, norb):
+    occ = np.zeros((len(strings), norb))
+    for i, s in enumerate(strings):
+        occ[i, list(s)] = 1.0
+    return occ
+
+
+# ---------------------------------------------------------------------------
+# solver
+# ---------------------------------------------------------------------------
+@dataclass
+class _Space:
+    norb: int
+    na: int
+    nb: int
+    strings_a: list
+    strings_b: list
+    Ea: list   # sparse E_pq for alpha sector
+    Eb: list
+    occ_a: np.ndarray
+    occ_b: np.ndarray
+
+
+class FCISolver:
+    """Direct-CI solver with Davidson diagonalization.
+
+    Usage (mirrors pyscf's functional kernel):
+        solver = FCISolver(norb, nelec)
+        e, vec = solver.kernel(h1, h2)                  # ground state
+        es, vecs = solver.kernel(h1, h2, nroots=3)
+        rdm1, rdm2 = solver.trans_rdm12(bra, ket)
+    """
+
+    def __init__(self, norb, nelec, spin="singlet"):
+        if isinstance(nelec, (tuple, list)):
+            na, nb = nelec
+        else:
+            nb = nelec // 2
+            na = nelec - nb
+        self.norb = norb
+        self.na, self.nb = na, nb
+        strings_a, Ea = excitation_matrices(norb, na)
+        if nb == na:
+            strings_b, Eb = strings_a, Ea
+        else:
+            strings_b, Eb = excitation_matrices(norb, nb)
+        self.space = _Space(
+            norb=norb, na=na, nb=nb,
+            strings_a=strings_a, strings_b=strings_b,
+            Ea=Ea, Eb=Eb,
+            occ_a=occupation_table(strings_a, norb),
+            occ_b=occupation_table(strings_b, norb),
+        )
+        self.spin = spin if na == nb else None
+        self.dim = (len(strings_a), len(strings_b))
+
+    # -- operator application ------------------------------------------------
+    def _apply_E(self, C):
+        """D[pq] = (E_pq C) for all pq; shape (norb^2, Na, Nb)."""
+        sps = self.space
+        n2 = self.norb ** 2
+        D = np.empty((n2,) + C.shape)
+        for k in range(n2):
+            D[k] = sps.Ea[k] @ C + (sps.Eb[k] @ C.T).T
+        return D
+
+    def sigma(self, C, h1, eri):
+        """H C with H = sum k_pq E_pq + 1/2 sum (pq|rs) E_pq E_rs,
+        k = h1 - 1/2 tr_r (pr|rq)."""
+        n = self.norb
+        k1 = h1 - 0.5 * np.einsum("prrq->pq", eri)
+        D = self._apply_E(C)
+        sig = np.tensordot(k1.reshape(-1), D, axes=1)
+        G = np.tensordot(eri.reshape(n * n, n * n),
+                         D.reshape(n * n, -1), axes=1).reshape(D.shape)
+        sps = self.space
+        for k in range(n * n):
+            sig += 0.5 * (sps.Ea[k] @ G[k] + (sps.Eb[k] @ G[k].T).T)
+        return sig
+
+    def make_hdiag(self, h1, eri):
+        """Diagonal of H over determinants, for the Davidson preconditioner."""
+        J = np.einsum("ppqq->pq", eri)
+        K = np.einsum("pqqp->pq", eri)
+        oa, ob = self.space.occ_a, self.space.occ_b
+        hpp = np.diag(h1)
+        da = oa @ hpp + 0.5 * np.einsum("ip,iq,pq->i", oa, oa, J - K)
+        db = ob @ hpp + 0.5 * np.einsum("ip,iq,pq->i", ob, ob, J - K)
+        cross = oa @ J @ ob.T
+        return da[:, None] + db[None, :] + cross
+
+    # -- Davidson ------------------------------------------------------------
+    def kernel(self, h1, h2, norb=None, nelec=None, nroots=1, tol=1e-10,
+               max_cycle=200, max_space=None):
+        """Lowest nroots eigenpairs. Returns (e, vec) for nroots == 1,
+        (list_of_e, list_of_vec) otherwise — matching the pyscf kernel's
+        return convention used in FCI_EVCont.py:70-77."""
+        h1 = np.asarray(h1, dtype=np.float64)
+        eri = np.asarray(h2, dtype=np.float64)
+        Na, Nb = self.dim
+        dim = Na * Nb
+        hdiag = self.make_hdiag(h1, eri).ravel()
+
+        def project(v):
+            if self.spin == "singlet":
+                M = v.reshape(Na, Nb)
+                v = (0.5 * (M + M.T)).ravel()
+            return v
+
+        def matvec(v):
+            return self.sigma(v.reshape(Na, Nb), h1, eri).ravel()
+
+        # initial guesses: lowest-diagonal determinants, spin-projected
+        order = np.argsort(hdiag)
+        guesses = []
+        for idx in order:
+            g = np.zeros(dim)
+            g[idx] = 1.0
+            g = project(g)
+            nrm = np.linalg.norm(g)
+            if nrm < 1e-12:
+                continue
+            g = g / nrm
+            for b in guesses:
+                g = g - b * (b @ g)
+            nrm = np.linalg.norm(g)
+            if nrm > 1e-6:
+                guesses.append(g / nrm)
+            if len(guesses) >= nroots:
+                break
+
+        max_space = max_space or max(20, 6 * nroots)
+        V = list(guesses)
+        AV = [matvec(v) for v in V]
+        last_e = None
+        for _ in range(max_cycle):
+            Vm = np.array(V)
+            AVm = np.array(AV)
+            Hs = Vm @ AVm.T
+            Hs = 0.5 * (Hs + Hs.T)
+            w, y = np.linalg.eigh(Hs)
+            w, y = w[:nroots], y[:, :nroots]
+            X = y.T @ Vm          # Ritz vectors (nroots, dim)
+            AX = y.T @ AVm
+            resid = AX - w[:, None] * X
+            rnorm = np.linalg.norm(resid, axis=1)
+            if last_e is not None and np.all(np.abs(w - last_e) < tol) \
+                    and np.all(rnorm < np.sqrt(tol)):
+                break
+            last_e = w
+            added = False
+            for k in range(nroots):
+                if rnorm[k] < 1e-3 * np.sqrt(tol):
+                    continue
+                denom = hdiag - w[k]
+                denom = np.where(np.abs(denom) < 1e-8,
+                                 np.sign(denom + 1e-30) * 1e-8, denom)
+                t = project(resid[k] / denom)
+                for v in V:
+                    t = t - v * (v @ t)
+                nrm = np.linalg.norm(t)
+                if nrm > 1e-6:
+                    t = t / nrm
+                    V.append(t)
+                    AV.append(matvec(t))
+                    added = True
+            if not added:
+                break
+            if len(V) > max_space:
+                # restart with current Ritz vectors
+                V = [x / np.linalg.norm(x) for x in X]
+                AV = [matvec(v) for v in V]
+
+        vecs = [X[k].reshape(Na, Nb) / np.linalg.norm(X[k])
+                for k in range(nroots)]
+        if nroots == 1:
+            return float(w[0]), vecs[0]
+        return list(map(float, w)), vecs
+
+    # -- transition RDMs -----------------------------------------------------
+    def trans_rdm12(self, bra, ket, norb=None, nelec=None):
+        """Spin-summed transition 1- and 2-RDMs between CI vectors (see
+        module docstring for conventions). Reference parity:
+        cisolver.trans_rdm12 in FCI_EVCont.py:121-123."""
+        n = self.norb
+        bra = np.asarray(bra).reshape(self.dim)
+        ket = np.asarray(ket).reshape(self.dim)
+        Dket = self._apply_E(ket).reshape(n * n, -1)
+        rdm1 = (Dket @ bra.ravel()).reshape(n, n)
+        Dbra = self._apply_E(bra).reshape(n * n, -1)
+        # <bra| E_pq E_rs |ket> = <E_qp bra | E_rs ket>
+        M = (Dbra @ Dket.T)
+        # index of E_qp in the flat (p*n+q) layout is q*n+p -> transpose blocks
+        M = M.reshape(n, n, n, n).transpose(1, 0, 2, 3).reshape(n * n, n * n)
+        rdm2 = M.reshape(n, n, n, n).copy()
+        # subtract delta_qr <bra|E_ps|ket>
+        for q in range(n):
+            rdm2[:, q, q, :] -= rdm1
+        return rdm1, rdm2
+
+    def energy_from_rdms(self, h1, eri, rdm1, rdm2):
+        return float(np.einsum("pq,pq->", h1, rdm1)
+                     + 0.5 * np.einsum("pqrs,pqrs->", eri, rdm2))

@@ -1,0 +1,183 @@
+"""Continuation-core tests: Löwdin transform + JVP, storage layouts,
+generalized eigensolve, and the H6 end-to-end interpolation property."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evcont_tpu.molecule import Molecule
+from evcont_tpu.oao import (
+    loewdin_trafo,
+    compress_exchange,
+    restore_exchange,
+    transform_integrals,
+)
+from evcont_tpu.continuation import (
+    assemble_hamiltonian,
+    lowest_states,
+    solve_gep,
+    approximate_ground_state,
+    predicted_rdms,
+)
+
+
+def _rand_spd(n, seed=0, degenerate=False):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((n, n))
+    S = A @ A.T + n * np.eye(n)
+    if degenerate:
+        # construct an exactly degenerate spectrum
+        vals = np.array([1.0, 2.0, 2.0, 2.0, 5.0, 7.0, 7.0, 9.0])[:n]
+        Q, _ = np.linalg.qr(A)
+        S = (Q * vals) @ Q.T
+    return 0.5 * (S + S.T)
+
+
+def test_loewdin_trafo_value():
+    S = _rand_spd(6, 1)
+    T = np.array(loewdin_trafo(S))
+    np.testing.assert_allclose(T @ S @ T, np.eye(6), atol=1e-12)
+    np.testing.assert_allclose(T, T.T, atol=1e-13)
+
+
+@pytest.mark.parametrize("degenerate", [False, True])
+def test_loewdin_jvp_vs_finite_difference(degenerate):
+    """The Daleckii-Krein JVP must be exact even for degenerate spectra
+    (replacing the reference's degenerate PT,
+    ab_initio_gradients_loewdin.py:41-112)."""
+    S = _rand_spd(8, 2, degenerate=degenerate)
+    dS = _rand_spd(8, 3) - _rand_spd(8, 4)
+    dS = 0.5 * (dS + dS.T) * 0.1
+
+    _, jvp = jax.jvp(loewdin_trafo, (S,), (dS,))
+    eps = 1e-6
+    fd = (np.array(loewdin_trafo(S + eps * dS))
+          - np.array(loewdin_trafo(S - eps * dS))) / (2 * eps)
+    np.testing.assert_allclose(np.array(jvp), fd, atol=5e-6)
+
+
+def test_loewdin_reverse_mode():
+    S = _rand_spd(6, 5)
+
+    def f(s):
+        return jnp.sum(loewdin_trafo(s) ** 3)
+
+    g = np.array(jax.grad(f)(S))
+    eps = 1e-6
+    for (i, j) in [(0, 0), (1, 3)]:
+        dS = np.zeros_like(S)
+        dS[i, j] = dS[j, i] = 1.0
+        fd = (float(f(S + eps * dS)) - float(f(S - eps * dS))) / (2 * eps)
+        # gradient w.r.t. symmetric perturbation = g[i,j] + g[j,i] off-diag
+        gd = g[i, j] + (g[j, i] if i != j else 0.0)
+        assert abs(gd - fd) < 1e-5
+
+
+def test_exchange_compression_roundtrip():
+    rng = np.random.default_rng(7)
+    n = 4
+    h2 = rng.standard_normal((n, n, n, n))
+    # impose exchange symmetry (ij)<->(kl)
+    h2 = h2 + h2.transpose(2, 3, 0, 1)
+    packed = np.array(compress_exchange(jnp.asarray(h2)))
+    restored = np.array(restore_exchange(jnp.asarray(packed), n))
+    np.testing.assert_allclose(restored, h2, atol=1e-13)
+
+
+def _toy_problem(ntrain=4, norb=3, seed=0):
+    rng = np.random.default_rng(seed)
+    h1 = rng.standard_normal((norb, norb))
+    h1 = 0.5 * (h1 + h1.T)
+    h2 = rng.standard_normal((norb,) * 4)
+    # full 8-fold symmetry
+    h2 = h2 + h2.transpose(1, 0, 2, 3)
+    h2 = h2 + h2.transpose(0, 1, 3, 2)
+    h2 = h2 + h2.transpose(2, 3, 0, 1)
+    g1 = rng.standard_normal((ntrain, ntrain, norb, norb))
+    g1 = g1 + g1.transpose(1, 0, 3, 2)
+    g2 = rng.standard_normal((ntrain, ntrain, norb, norb, norb, norb))
+    g2 = g2 + g2.transpose(1, 0, 4, 5, 2, 3)          # data symmetry
+    g2 = g2 + g2.transpose(0, 1, 4, 5, 2, 3)          # exchange symmetry
+    A = rng.standard_normal((ntrain, ntrain))
+    S = A @ A.T + ntrain * np.eye(ntrain)
+    return h1, h2, g1, g2, S
+
+
+def test_assembly_layout_equivalence():
+    """All four t-RDM storage layouts must produce the same H
+    (reference branch structure, ab_initio_eigenvector_continuation.py:41-71)."""
+    h1, h2, g1, g2, S = _toy_problem()
+    ntrain, norb = g1.shape[0], h1.shape[0]
+    rows, cols = np.tril_indices(ntrain)
+
+    H6 = np.array(assemble_hamiltonian(h1, h2, g1, jnp.asarray(g2)))
+    g2_5d = g2[rows, cols]
+    H5 = np.array(assemble_hamiltonian(h1, h2, g1, jnp.asarray(g2_5d)))
+    g2_3d = np.array(compress_exchange(jnp.asarray(g2)))
+    H3 = np.array(assemble_hamiltonian(h1, h2, g1, jnp.asarray(g2_3d)))
+    g2_2d = g2_3d[rows, cols]
+    H2 = np.array(assemble_hamiltonian(h1, h2, g1, jnp.asarray(g2_2d)))
+
+    np.testing.assert_allclose(H5, H6, atol=1e-11)
+    np.testing.assert_allclose(H3, H6, atol=1e-11)
+    np.testing.assert_allclose(H2, H6, atol=1e-11)
+
+
+def test_gep_vs_scipy():
+    from scipy.linalg import eigh
+    h1, h2, g1, g2, S = _toy_problem(seed=3)
+    H = np.array(assemble_hamiltonian(h1, h2, g1, jnp.asarray(g2)))
+    w_ref, v_ref = eigh(H, S)
+    w, V = solve_gep(jnp.asarray(H), jnp.asarray(S))
+    np.testing.assert_allclose(np.array(w), w_ref, atol=1e-10)
+    E, vecs = lowest_states(jnp.asarray(H), jnp.asarray(S), 2)
+    np.testing.assert_allclose(np.array(E), w_ref[:2], atol=1e-10)
+    # eigenvector parity up to sign, S-normalized
+    for k in range(2):
+        a, b = np.array(vecs[k]), v_ref[:, k]
+        assert min(np.linalg.norm(a - b), np.linalg.norm(a + b)) < 1e-8
+
+
+def test_gep_singular_overlap():
+    """Near-singular training overlap must not blow up (the whitening
+    cutoff divergence from scipy's Cholesky-based eigh)."""
+    h1, h2, g1, g2, S = _toy_problem(seed=4)
+    # make S rank-deficient: duplicate a training state
+    S[3] = S[2]
+    S[:, 3] = S[:, 2]
+    H = np.array(assemble_hamiltonian(h1, h2, g1, jnp.asarray(g2)))
+    H[3] = H[2]
+    H[:, 3] = H[:, 2]
+    E, vecs = lowest_states(jnp.asarray(H), jnp.asarray(S), 1)
+    assert np.all(np.isfinite(np.array(E)))
+    assert np.all(np.isfinite(np.array(vecs)))
+
+
+def test_lowest_states_hellmann_feynman():
+    h1, h2, g1, g2, S = _toy_problem(seed=5)
+    H = np.array(assemble_hamiltonian(h1, h2, g1, jnp.asarray(g2)))
+    dH = _rand_spd(4, 11) - _rand_spd(4, 12)
+    dH = 0.5 * (dH + dH.T)
+
+    def e0(Hm):
+        E, _ = lowest_states(Hm, jnp.asarray(S), 1)
+        return E[0]
+
+    g = np.array(jax.grad(e0)(jnp.asarray(H)))
+    eps = 1e-6
+    fd = (float(e0(jnp.asarray(H + eps * dH)))
+          - float(e0(jnp.asarray(H - eps * dH)))) / (2 * eps)
+    assert abs(np.sum(g * dH) - fd) < 1e-7
+
+
+def test_predicted_rdms_layouts():
+    h1, h2, g1, g2, S = _toy_problem(seed=6)
+    ntrain, norb = 4, 3
+    rows, cols = np.tril_indices(ntrain)
+    _, vec = approximate_ground_state(h1, h2, g1, jnp.asarray(g2), S)
+    r1_full, r2_full = predicted_rdms(vec, g1, jnp.asarray(g2), norb)
+    g2_2d = np.array(compress_exchange(jnp.asarray(g2)))[rows, cols]
+    r1_c, r2_c = predicted_rdms(vec, g1, jnp.asarray(g2_2d), norb)
+    np.testing.assert_allclose(np.array(r1_c), np.array(r1_full), atol=1e-11)
+    np.testing.assert_allclose(np.array(r2_c), np.array(r2_full), atol=1e-11)
