@@ -1,0 +1,149 @@
+"""Active-learning driver: on-the-fly training of the continuation during MD.
+
+Reference parity: converge_EVCont_MD (evcont/MD_utils.py:128-502), with the
+same control flow and file artifacts:
+  * per-iteration trajectory files traj_EVCont_i.{xyz,npy}, ens_EVCont_i.xyz
+  * continuation state overlap/one_rdm/two_rdm.npy (+_i when pruning),
+    trn_times.txt
+  * per-iteration energy-difference files en_diff_i.txt
+  * convergence = two consecutive passes with max per-frame |dE| below
+    convergence_thresh (MD_utils.py:326-337)
+  * three data-selection criteria (learn/selection.py)
+  * optional leave-one-out pruning of redundant training points
+    (MD_utils.py:279-305, 463-489)
+
+TPU divergences: the MD trajectory is one on-device scan; the per-frame
+re-prediction sweeps (reference loops approximate_ground_state_OAO over all
+frames, MD_utils.py:265-275, 448-458) are vmapped batch evaluations; MPI
+rank gymnastics disappear under JAX's single-controller model.
+"""
+
+import os
+
+import numpy as np
+
+from ..md.driver import get_trajectory
+from ..model import ContinuationModel
+from . import selection
+from .checkpoints import save_state
+
+
+def _predict_batch(mol, overlap, one_rdm, two_rdm, trajectory,
+                   chunk_size=32):
+    """Re-predict a trajectory's energies with a (sub)set of training data,
+    batched on device."""
+    model = ContinuationModel(mol, overlap, one_rdm, two_rdm)
+    traj = np.asarray(trajectory)
+    out = []
+    for start in range(0, traj.shape[0], chunk_size):
+        chunk = traj[start:start + chunk_size]
+        pad = chunk_size - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        vals = np.array(model.potential_batch(chunk))
+        out.append(vals[:chunk_size - pad] if pad else vals)
+    return np.concatenate(out)
+
+
+def converge_EVCont_MD(backend, init_mol, steps=100, dt=1.0,
+                       convergence_thresh=1.0e-3,
+                       prune_irrelevant_data=False,
+                       data_addition="farthest_point_ham",
+                       max_iterations=100, workdir=".",
+                       md_kwargs=None):
+    """Iteratively: run MD with the current continuation, pick the frame
+    farthest from the training set, solve it exactly, repeat until the
+    trajectory's energy change from the last added point stays below
+    convergence_thresh for two consecutive iterations.
+
+    Returns the final trajectory (steps, natm, 3) in Bohr.
+    """
+    md_kwargs = md_kwargs or {}
+    os.makedirs(workdir, exist_ok=True)
+
+    def run_traj(i):
+        model = ContinuationModel.from_backend(init_mol, backend)
+        with open(os.path.join(workdir, f"traj_EVCont_{i}.xyz"), "w") as tf, \
+                open(os.path.join(workdir, f"ens_EVCont_{i}.xyz"), "w") as ef:
+            coords, epot, ekin = get_trajectory(
+                model, init_coords=init_mol.coords, dt=dt, steps=steps,
+                trajectory_output=tf, energy_output=ef, **md_kwargs)
+        np.save(os.path.join(workdir, f"traj_EVCont_{i}.npy"), coords)
+        return coords, epot
+
+    def save(i):
+        suffix = str(i) if prune_irrelevant_data else ""
+        save_state(workdir, backend.overlap, backend.one_rdm,
+                   backend.two_rdm, trn_times, suffix=suffix)
+
+    # ---- bootstrap: train on the initial geometry, run first trajectory ---
+    i = 0
+    trn_times = [0]
+    trn_geometries = [np.asarray(init_mol.coords)]
+    backend.append_to_rdms(init_mol)
+    save(i)
+    trajectory, updated_ens = run_traj(i)
+    reference_ens = np.full_like(updated_ens, updated_ens[0])
+    converged = False
+
+    engine = ContinuationModel.from_backend(init_mol, backend).engine
+
+    for _ in range(max_iterations):
+        en_diff = np.abs(reference_ens - updated_ens)
+        np.savetxt(os.path.join(workdir, f"en_diff_{i}.txt"), en_diff)
+        i += 1
+
+        if converged and en_diff.max() <= convergence_thresh:
+            break
+        converged = en_diff.max() <= convergence_thresh
+
+        # ---- data selection -------------------------------------------
+        if data_addition == "energy":
+            trn_time = selection.select_energy(en_diff)
+        elif data_addition == "farthest_point":
+            trn_time = selection.select_farthest_point(
+                trn_geometries, trajectory)
+        elif data_addition == "farthest_point_ham":
+            trn_time = selection.select_farthest_point_ham(
+                engine, trn_geometries, trajectory)
+        else:
+            raise ValueError(f"unknown data_addition {data_addition!r}")
+
+        trn_geometry = trajectory[trn_time]
+        trn_times.append(int(trn_time))
+        trn_geometries.append(np.asarray(trn_geometry))
+        backend.append_to_rdms(init_mol.set_geom(trn_geometry))
+        save(i)
+
+        # ---- new trajectory with the enlarged subspace ------------------
+        trajectory, updated_ens = run_traj(i)
+
+        # ---- re-predict with the previous subspace ----------------------
+        reference_ens = _predict_batch(
+            init_mol, backend.overlap[:-1, :-1],
+            backend.one_rdm[:-1, :-1], backend.two_rdm[:-1, :-1],
+            trajectory)
+
+        # ---- optional leave-one-out pruning -----------------------------
+        if prune_irrelevant_data:
+            keep = np.ones(len(trn_times), dtype=bool)
+            for j in range(len(trn_times)):
+                test_keep = keep.copy()
+                test_keep[j] = False
+                if test_keep.sum() < 1:
+                    continue
+                ids = np.nonzero(test_keep)[0]
+                ix = np.ix_(ids, ids)
+                ens_removed = _predict_batch(
+                    init_mol, backend.overlap[ix], backend.one_rdm[ix],
+                    backend.two_rdm[ix], trajectory)
+                if np.all(np.abs(ens_removed - updated_ens)
+                          < convergence_thresh):
+                    keep = test_keep
+            keep_ids = np.nonzero(keep)[0].tolist()
+            if len(keep_ids) < len(trn_times):
+                trn_times = [trn_times[j] for j in keep_ids]
+                trn_geometries = [trn_geometries[j] for j in keep_ids]
+                backend.prune_datapoints(keep_ids)
+
+    return trajectory

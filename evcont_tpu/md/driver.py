@@ -1,0 +1,67 @@
+"""Trajectory driver with reference-compatible artifacts.
+
+Replaces get_trajectory (evcont/MD_utils.py:60-125): runs the jitted
+on-device MD loop and writes the same text artifacts the reference produces
+through pyscf's integrator callbacks — an .xyz trajectory file and an
+energy file whose column 1 is the potential energy (the active-learning
+loop parses it with np.genfromtxt(...)[:, 1], MD_utils.py:207-209)."""
+
+import jax
+import numpy as np
+
+from ..utils.constants import BOHR
+from .integrators import run_nve, run_nvt_berendsen
+
+
+def write_xyz_frame(fh, symbols, coords_bohr, comment=""):
+    fh.write(f"{len(symbols)}\n{comment}\n")
+    for s, xyz in zip(symbols, np.asarray(coords_bohr) * BOHR):
+        fh.write(f"{s:3s} {xyz[0]:20.12f} {xyz[1]:20.12f} {xyz[2]:20.12f}\n")
+
+
+def write_energy_line(fh, time_au, epot, ekin):
+    fh.write(f"{time_au:8.2f}  {epot:.12E}  {ekin:.12E}  {epot + ekin:.12E}\n")
+
+
+def get_trajectory(model, init_coords=None, dt=10.0, steps=10,
+                   init_veloc=None, ensemble="nve", T=298.15, taut=250.0,
+                   trajectory_output=None, energy_output=None):
+    """Run an MD trajectory from a ContinuationModel.
+
+    Mirrors the reference's get_trajectory signature (MD_utils.py:60-71) but
+    executes the whole trajectory as one on-device scan. Returns the
+    trajectory coordinates (steps, natm, 3) in Bohr.
+    """
+    mol = model.mol
+    coords0 = np.asarray(mol.coords if init_coords is None else init_coords)
+    masses = mol.masses_au()
+    energy_fn = model.energy_fn()
+
+    if ensemble == "nve":
+        run = jax.jit(lambda c, v: run_nve(energy_fn, masses, c, v, dt, steps))
+    elif ensemble == "nvt_berendsen":
+        run = jax.jit(lambda c, v: run_nvt_berendsen(
+            energy_fn, masses, c, v, dt, steps, T, taut))
+    else:
+        raise ValueError(f"unknown ensemble {ensemble!r}")
+
+    v0 = np.zeros_like(coords0) if init_veloc is None else np.asarray(init_veloc)
+    out = run(coords0, v0)
+    coords = np.array(out["coords"])
+    epot = np.array(out["epot"])
+    ekin = np.array(out["ekin"])
+
+    if trajectory_output is not None:
+        for i in range(steps):
+            write_xyz_frame(trajectory_output, mol.symbols, coords[i],
+                            comment=f"MD Time {(i + 1) * dt:.2f}")
+        trajectory_output.flush()
+    if energy_output is not None:
+        energy_output.write(
+            "#   time          Epot                 Ekin                 "
+            "Etot\n")
+        for i in range(steps):
+            write_energy_line(energy_output, (i + 1) * dt, epot[i], ekin[i])
+        energy_output.flush()
+
+    return coords, epot, ekin

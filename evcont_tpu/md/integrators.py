@@ -1,0 +1,106 @@
+"""Molecular-dynamics integrators as jitted lax.scan loops.
+
+Replaces pyscf's host-side integrators used by the reference:
+  * md.NVE (velocity Verlet)         — MD_utils.py:109-120
+  * md.integrators.NVTBerendson      — 04_Zundel_continuation_MD.py:164-177
+  * MaxwellBoltzmannVelocity         — 04_Zundel_continuation_MD.py:137
+
+TPU-first design: the reference evaluates forces through a Python scanner
+object every step (host round-trip per step through libcint + scipy). Here
+the *entire trajectory* is one lax.scan whose body evaluates the jitted
+continuation energy gradient on device — zero host involvement for any
+number of steps. Multiple trajectories batch with vmap (ensemble MD).
+
+Units: coordinates Bohr, time atomic units, masses in electron masses,
+temperatures Kelvin.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.constants import KB_HARTREE
+
+
+def kinetic_energy(veloc, masses):
+    return 0.5 * jnp.sum(masses[:, None] * veloc * veloc)
+
+
+def temperature(veloc, masses):
+    """Instantaneous temperature with 3N degrees of freedom (matching
+    pyscf.md's convention used by the reference workloads)."""
+    ekin = kinetic_energy(veloc, masses)
+    dof = 3 * veloc.shape[0]
+    return 2.0 * ekin / (dof * KB_HARTREE)
+
+
+def maxwell_boltzmann(key, masses, T):
+    """Velocities drawn from the Maxwell-Boltzmann distribution at T (K),
+    per-component sigma = sqrt(kB T / m)."""
+    sigma = jnp.sqrt(KB_HARTREE * T / masses)
+    return sigma[:, None] * jax.random.normal(key, (masses.shape[0], 3))
+
+
+def _vv_step(energy_fn, masses, dt):
+    """One velocity-Verlet step. Returns ((coords, veloc, forces), aux)."""
+    inv_m = 1.0 / masses[:, None]
+
+    def step(carry, _):
+        coords, veloc, forces = carry
+        veloc_half = veloc + 0.5 * dt * forces * inv_m
+        coords_new = coords + dt * veloc_half
+        e_new, g_new = jax.value_and_grad(energy_fn)(coords_new)
+        forces_new = -g_new
+        veloc_new = veloc_half + 0.5 * dt * forces_new * inv_m
+        return (coords_new, veloc_new, forces_new), (coords_new, veloc_new,
+                                                     e_new)
+    return step
+
+
+def run_nve(energy_fn, masses, coords0, veloc0, dt, steps):
+    """NVE velocity-Verlet trajectory, fully on device.
+
+    Returns dict with per-step arrays: coords (steps, natm, 3), veloc,
+    epot (steps,), ekin (steps,). Step i holds the state *after* i+1
+    updates, matching the frames list of pyscf's NVE integrator."""
+    masses = jnp.asarray(masses)
+    coords0 = jnp.asarray(coords0)
+    veloc0 = jnp.zeros_like(coords0) if veloc0 is None else jnp.asarray(veloc0)
+    _, g0 = jax.value_and_grad(energy_fn)(coords0)
+    step = _vv_step(energy_fn, masses, dt)
+    (_, _, _), (coords, veloc, epot) = jax.lax.scan(
+        step, (coords0, veloc0, -g0), None, length=steps)
+    ekin = jax.vmap(lambda v: kinetic_energy(v, masses))(veloc)
+    return {"coords": coords, "veloc": veloc, "epot": epot, "ekin": ekin}
+
+
+def run_nvt_berendsen(energy_fn, masses, coords0, veloc0, dt, steps,
+                      T, taut):
+    """NVT trajectory with a Berendsen thermostat: after each velocity-Verlet
+    update, velocities are rescaled by sqrt(1 + dt/taut (T0/T_now - 1))
+    (pyscf md.integrators.NVTBerendson semantics; taut in a.u. of time)."""
+    masses = jnp.asarray(masses)
+    coords0 = jnp.asarray(coords0)
+    veloc0 = jnp.zeros_like(coords0) if veloc0 is None else jnp.asarray(veloc0)
+    inv_m = 1.0 / masses[:, None]
+    _, g0 = jax.value_and_grad(energy_fn)(coords0)
+
+    def step(carry, _):
+        coords, veloc, forces = carry
+        veloc_half = veloc + 0.5 * dt * forces * inv_m
+        coords_new = coords + dt * veloc_half
+        e_new, g_new = jax.value_and_grad(energy_fn)(coords_new)
+        forces_new = -g_new
+        veloc_new = veloc_half + 0.5 * dt * forces_new * inv_m
+        T_now = temperature(veloc_new, masses)
+        lam = jnp.sqrt(1.0 + (dt / taut) * (T / jnp.maximum(T_now, 1e-12)
+                                            - 1.0))
+        veloc_new = veloc_new * lam
+        return (coords_new, veloc_new, forces_new), (coords_new, veloc_new,
+                                                     e_new)
+
+    (_, _, _), (coords, veloc, epot) = jax.lax.scan(
+        step, (coords0, veloc0, -g0), None, length=steps)
+    ekin = jax.vmap(lambda v: kinetic_energy(v, masses))(veloc)
+    return {"coords": coords, "veloc": veloc, "epot": epot, "ekin": ekin}

@@ -1,0 +1,121 @@
+"""MD integrator and active-learning tests (small systems for CPU speed)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from evcont_tpu.molecule import Molecule
+from evcont_tpu.backends.fci_backend import FCIBackend
+from evcont_tpu.model import ContinuationModel
+from evcont_tpu.md.driver import get_trajectory
+from evcont_tpu.md.integrators import (
+    maxwell_boltzmann,
+    temperature,
+    kinetic_energy,
+)
+from evcont_tpu.md.observables import dipole_moment, mulliken_charges
+
+
+def h2(d):
+    return Molecule.build([("H", (0, 0, 0)), ("H", (0, 0, d))],
+                          basis="sto-3g")
+
+
+@pytest.fixture(scope="module")
+def h2_model():
+    backend = FCIBackend()
+    for d in [1.2, 1.4, 1.8]:
+        backend.append_to_rdms(h2(d))
+    return ContinuationModel.from_backend(h2(1.4), backend)
+
+
+def test_nve_energy_conservation(h2_model):
+    coords, epot, ekin = get_trajectory(
+        h2_model, init_coords=h2(1.6).coords, dt=5.0, steps=60)
+    etot = epot + ekin
+    assert np.abs(etot - etot[0]).max() < 1e-4
+    assert coords.shape == (60, 2, 3)
+
+
+def test_nve_artifact_files(h2_model, tmp_path):
+    tf = open(tmp_path / "traj.xyz", "w")
+    ef = open(tmp_path / "ens.xyz", "w")
+    get_trajectory(h2_model, init_coords=h2(1.5).coords, dt=5.0, steps=5,
+                   trajectory_output=tf, energy_output=ef)
+    tf.close()
+    ef.close()
+    # reference active-learning loop parses column 1 as Epot
+    # (MD_utils.py:207-209)
+    ens = np.genfromtxt(tmp_path / "ens.xyz")
+    assert ens.shape == (5, 4)
+    assert np.all(ens[:, 1] < 0)
+    lines = open(tmp_path / "traj.xyz").read().splitlines()
+    assert lines[0].strip() == "2"
+    assert len(lines) == 5 * 4
+
+
+def test_maxwell_boltzmann_temperature():
+    masses = Molecule.build(
+        [("O", (0, 0, 0))] * 8, basis="sto-3g").masses_au()
+    key = jax.random.PRNGKey(3)
+    keys = jax.random.split(key, 200)
+    temps = [float(temperature(maxwell_boltzmann(k, masses, 300.0), masses))
+             for k in keys]
+    assert abs(np.mean(temps) - 300.0) < 15.0
+
+
+def test_nvt_berendsen_thermalizes(h2_model):
+    masses = h2(1.4).masses_au()
+    v0 = np.array(maxwell_boltzmann(jax.random.PRNGKey(0), masses, 600.0))
+    coords, epot, ekin = get_trajectory(
+        h2_model, init_coords=h2(1.5).coords, dt=5.0, steps=80,
+        init_veloc=v0, ensemble="nvt_berendsen", T=150.0, taut=100.0)
+    # thermostat drags kinetic energy down from the hot start
+    assert np.mean(ekin[-20:]) < np.mean(ekin[:5])
+
+
+def test_observables(h2_model):
+    """Dipole/Mulliken from the predicted 1-RDM. H2 is symmetric: dipole
+    ~ 0 and charges ~ 0; the LiH-like asymmetric check uses displaced H2."""
+    mol = h2(1.4)
+    coords = np.asarray(mol.coords)
+    _, _, rdm1, _ = h2_model.state(coords)
+    dip = np.array(dipole_moment(h2_model.engine, mol.masses_au(), coords,
+                                 rdm1))
+    np.testing.assert_allclose(dip, 0.0, atol=1e-8)
+    q = np.array(mulliken_charges(h2_model.engine, coords, rdm1))
+    np.testing.assert_allclose(q, 0.0, atol=1e-8)
+    assert abs(np.trace(np.array(rdm1)) - 2.0) < 1e-8
+
+
+def test_active_learning_converges(tmp_path):
+    from evcont_tpu.learn.active import converge_EVCont_MD
+
+    def h3p(d):
+        xs = (np.arange(3) - 1.0) * d
+        return Molecule.build([("H", (x, 0, 0)) for x in xs],
+                              basis="sto-3g", charge=1)
+
+    backend = FCIBackend()
+    traj = converge_EVCont_MD(
+        backend, h3p(1.8), steps=10, dt=5.0, convergence_thresh=2e-3,
+        data_addition="farthest_point_ham", workdir=str(tmp_path))
+    assert backend.ntrain >= 2
+    assert traj.shape[0] == 10
+    # reference artifact schema present
+    for f in ["overlap.npy", "one_rdm.npy", "two_rdm.npy", "trn_times.txt",
+              "traj_EVCont_0.npy", "ens_EVCont_0.xyz", "en_diff_0.txt"]:
+        assert os.path.exists(tmp_path / f), f
+
+
+def test_selection_criteria_smoke(h2_model):
+    from evcont_tpu.learn import selection
+    traj = np.stack([np.asarray(h2(d).coords) for d in np.linspace(1.2, 2.2, 7)])
+    trn = [np.asarray(h2(1.4).coords)]
+    i_fp = selection.select_farthest_point(trn, traj)
+    assert i_fp == 6  # farthest from d=1.4 is d=2.2
+    i_ham = selection.select_farthest_point_ham(h2_model.engine, trn, traj,
+                                                chunk_size=4)
+    assert i_ham == 6
