@@ -57,8 +57,15 @@ def assemble_hamiltonian(h1, h2, one_rdm, two_rdm):
     (the reference leaves the upper triangle unset for pair-compressed
     layouts because scipy's eigh only reads the lower triangle; here the
     whitened solve consumes the full matrix)."""
-    ntrain = one_rdm.shape[0]
-    H = jnp.einsum("abij,ij->ab", one_rdm, h1)
+    if one_rdm.ndim == 3:
+        # pair-compressed one-body store (Npair, n, n) — the sharded layout
+        npair = one_rdm.shape[0]
+        ntrain = int((np.sqrt(8 * npair + 1) - 1) / 2)
+        Hone = jnp.einsum("pij,ij->p", one_rdm, h1)
+        H = _unpack_pairs(Hone, ntrain, Hone.dtype)
+    else:
+        ntrain = one_rdm.shape[0]
+        H = jnp.einsum("abij,ij->ab", one_rdm, h1)
 
     ndim = two_rdm.ndim
     if ndim == 6:
@@ -175,12 +182,40 @@ def approximate_multistate(h1, h2, one_rdm, two_rdm, S, nroots=1,
 # ---------------------------------------------------------------------------
 # predicted RDMs (for observables: dipole moments, Mulliken charges)
 # ---------------------------------------------------------------------------
+def to_pair_layout(one_rdm, two_rdm, compress_two=True):
+    """Convert full (Ntrn, Ntrn, ...) t-RDM stores to pair-compressed
+    layouts for sharding: one_rdm -> (Npair, n, n),
+    two_rdm -> (Npair, n^2(n^2+1)/2) when compress_two (host-side numpy)."""
+    one_rdm = np.asarray(one_rdm)
+    two_rdm = np.asarray(two_rdm)
+    ntrain = one_rdm.shape[0]
+    rows, cols = pair_compression_maps(ntrain)
+    one_p = one_rdm[rows, cols]
+    if two_rdm.ndim == 6:
+        two_p = two_rdm[rows, cols]
+        if compress_two:
+            two_p = np.asarray(compress_exchange(jnp.asarray(two_p)))
+    elif two_rdm.ndim == 3:
+        two_p = two_rdm[rows, cols]
+    else:
+        two_p = two_rdm
+    return one_p, two_p
+
+
 def predicted_rdms(vec, one_rdm, two_rdm, norb):
     """Predicted one- and two-body RDMs from the subspace eigenvector.
 
     Reference: evcont/ab_initio_gradients_loewdin.py:343-361. Handles all
-    four storage layouts; always returns the restored 4-index 2-RDM."""
-    rdm1 = jnp.einsum("a,b,abij->ij", vec, vec, one_rdm)
+    storage layouts (incl. pair-compressed one_rdm); always returns the
+    restored 4-index 2-RDM."""
+    if one_rdm.ndim == 3:
+        ntrain = vec.shape[0]
+        mat = 2.0 * jnp.outer(vec, vec)
+        mat = mat - 0.5 * jnp.diag(jnp.diag(mat))
+        rows, cols = pair_compression_maps(ntrain)
+        rdm1 = jnp.tensordot(mat[rows, cols], one_rdm, axes=1)
+    else:
+        rdm1 = jnp.einsum("a,b,abij->ij", vec, vec, one_rdm)
 
     ndim = two_rdm.ndim
     ntrain = vec.shape[0]

@@ -69,14 +69,16 @@ class _PairClass:
     scatter: np.ndarray      # (n, ca, cb) int32 into flat (nao*nao)
 
 
-@dataclass(frozen=True)
-class _QuartetClass:
-    ls: tuple
-    atoms: tuple             # 4 arrays (n,)
-    exps: tuple              # 4 arrays (n,)
-    cc: np.ndarray
-    scatter: np.ndarray      # (n, ca*cb*cc*cd) into flat nao**4
-    conv_table: np.ndarray   # (TB*TK,) gather table R_flat -> M
+def _conv_table(nb, nk, L):
+    """Static gather table mapping the flat (L+1)^3 R tensor to the
+    "convolution" matrix M[TB, TK] with TB = nb^3 bra Hermite indices and
+    TK = nk^3 ket indices: M[tuv, xyz] = R[t+x, u+y, v+z]."""
+    table = np.zeros((nb ** 3, nk ** 3), dtype=np.int32)
+    for bi, (t, u, v) in enumerate(itertools.product(range(nb), repeat=3)):
+        for ki, (x, y, z) in enumerate(
+                itertools.product(range(nk), repeat=3)):
+            table[bi, ki] = ((t + x) * (L + 1) + (u + y)) * (L + 1) + (v + z)
+    return table.reshape(-1)
 
 
 class IntegralEngine:
@@ -88,7 +90,6 @@ class IntegralEngine:
         self.charges = mol.numbers.astype(np.float64)
         self._prim = primitive_classes(self.structure)
         self._pairs = self._build_pair_classes()
-        self._quartets = self._build_quartet_classes()
 
     # ------------------------------------------------------------------
     # static structure
@@ -108,51 +109,6 @@ class IntegralEngine:
                 cc=pa.coef[ia] * pb.coef[ib],
                 scatter=pair_scatter_indices(
                     ca, cb, pa.ao_start[ia], pb.ao_start[ib], nao),
-            ))
-        return classes
-
-    def _build_quartet_classes(self):
-        classes = []
-        nao = self.nao
-        for ls in itertools.product(sorted(self._prim), repeat=4):
-            la, lb, lc, ld = ls
-            prims = [self._prim[l] for l in ls]
-            sizes = [len(p.exp) for p in prims]
-            grids = np.meshgrid(*[np.arange(n) for n in sizes], indexing="ij")
-            idx = [g.ravel() for g in grids]
-            ncarts = [(l + 1) * (l + 2) // 2 for l in ls]
-            comp = [np.arange(c, dtype=np.int64) for c in ncarts]
-            ao = [p.ao_start[i].astype(np.int64) for p, i in zip(prims, idx)]
-            n = len(idx[0])
-            flat = np.zeros((n,) + tuple(ncarts), dtype=np.int64)
-            flat += (ao[0][:, None, None, None, None]
-                     + comp[0][None, :, None, None, None]) * nao**3
-            flat += (ao[1][:, None, None, None, None]
-                     + comp[1][None, None, :, None, None]) * nao**2
-            flat += (ao[2][:, None, None, None, None]
-                     + comp[2][None, None, None, :, None]) * nao
-            flat += (ao[3][:, None, None, None, None]
-                     + comp[3][None, None, None, None, :])
-
-            # static gather table mapping flat R (L+1)^3 -> M[TB, TK]
-            L = la + lb + lc + ld
-            nb, nk = la + lb + 1, lc + ld + 1
-            table = np.zeros((nb**3, nk**3), dtype=np.int32)
-            for bi, (t, u, v) in enumerate(
-                    itertools.product(range(nb), repeat=3)):
-                for ki, (x, y, z) in enumerate(
-                        itertools.product(range(nk), repeat=3)):
-                    table[bi, ki] = ((t + x) * (L + 1) + (u + y)) * (L + 1) \
-                        + (v + z)
-            classes.append(_QuartetClass(
-                ls=ls,
-                atoms=tuple(p.atom[i] for p, i in zip(prims, idx)),
-                exps=tuple(p.exp[i] for p, i in zip(prims, idx)),
-                cc=(prims[0].coef[idx[0]] * prims[1].coef[idx[1]]
-                    * prims[2].coef[idx[2]] * prims[3].coef[idx[3]]),
-                scatter=flat.reshape(n, -1).astype(
-                    np.int32 if nao**4 < 2**31 else np.int64),
-                conv_table=table.reshape(-1),
             ))
         return classes
 
@@ -307,41 +263,74 @@ class IntegralEngine:
             comps.append(self._scatter_pairs(vals))
         return jnp.stack(comps)
 
+    def _eri_pair_data(self, coords):
+        """Per shell-pair-class data shared between the bra and ket sides of
+        every quartet class: Gaussian-product quantities, the combined
+        angular tensor E3, and AO-pair scatter offsets. Computed once per
+        geometry; quartet classes are formed as (bra pair) x (ket pair)
+        products on device (no per-quartet host tables — keeps the XLA
+        program free of multi-MB constants and reuses pair work 2 x #classes
+        times)."""
+        data = []
+        for cls in self._pairs:
+            p, P, E = self._pair_E(coords[cls.atom_a], coords[cls.atom_b],
+                                   cls.a, cls.b, cls.la, cls.lb)
+            E3 = self._E3(E, cls.la, cls.lb)           # (n, cab, (L+1)^3)
+            data.append({
+                "cls": cls, "p": p, "P": P, "E3": E3,
+                "cc": jnp.asarray(cls.cc),
+                "L": cls.la + cls.lb,
+                # flat AO-pair index of each (pair, comp_a, comp_b)
+                "ao_pair": cls.scatter.reshape(len(cls.a), -1),
+            })
+        return data
+
     def eri(self, coords):
         """Two-electron repulsion integrals (ij|kl), chemist notation,
         full (nao, nao, nao, nao) tensor."""
         nao = self.nao
+        pairs = self._eri_pair_data(coords)
         out = None
-        for cls in self._quartets:
-            la, lb, lc, ld = cls.ls
-            a, b, c, d = cls.exps
-            p, P, Ebra = self._pair_E(coords[cls.atoms[0]],
-                                      coords[cls.atoms[1]], a, b, la, lb)
-            q, Q, Eket = self._pair_E(coords[cls.atoms[2]],
-                                      coords[cls.atoms[3]], c, d, lc, ld)
-            alpha = p * q / (p + q)
-            L = la + lb + lc + ld
-            Rd = hermite_R_dense(L, alpha, P - Q)       # (n, L+1,L+1,L+1)
-            n = Rd.shape[0]
-            M = Rd.reshape(n, -1)[:, cls.conv_table]    # (n, TB*TK)
-            nb3, nk3 = (la + lb + 1) ** 3, (lc + ld + 1) ** 3
-            M = M.reshape(n, nb3, nk3)
+        for bra in pairs:
+            for ket in pairs:
+                p, q = bra["p"], ket["p"]
+                alpha = p[:, None] * q[None, :] / (p[:, None] + q[None, :])
+                L = bra["L"] + ket["L"]
+                PQ = bra["P"][:, None, :] - ket["P"][None, :, :]
+                Rd = hermite_R_dense(L, alpha, PQ)     # (n1, n2, L+1,L+1,L+1)
+                n1, n2 = Rd.shape[0], Rd.shape[1]
+                table = _conv_table(bra["L"] + 1, ket["L"] + 1, L)
+                M = Rd.reshape(n1, n2, -1)[:, :, table]
+                nb3, nk3 = (bra["L"] + 1) ** 3, (ket["L"] + 1) ** 3
+                M = M.reshape(n1, n2, nb3, nk3)
 
-            E3b = self._E3(Ebra, la, lb)                # (n, cab, nb3)
-            E3k = self._E3(Eket, lc, ld)                # (n, ckd, nk3)
-            # fold the (-1)^(tau+nu+phi) parity into the ket tensor
-            par = np.array([
-                (-1.0) ** (t + u + v)
-                for t, u, v in itertools.product(range(lc + ld + 1), repeat=3)
-            ])
-            E3k = E3k * par[None, None, :]
+                # fold the (-1)^(tau+nu+phi) parity into the ket tensor
+                par = np.array([
+                    (-1.0) ** (t + u + v)
+                    for t, u, v in itertools.product(range(ket["L"] + 1),
+                                                     repeat=3)
+                ])
+                E3k = ket["E3"] * par[None, None, :]
 
-            pref = (2.0 * jnp.pi ** 2.5 / (p * q * jnp.sqrt(p + q))) * cls.cc
-            block = jnp.einsum("nbt,ntk,nck->nbc", E3b, M, E3k)
-            block = block * pref[:, None, None]
-            if out is None:
-                out = jnp.zeros(nao ** 4, dtype=block.dtype)
-            out = out.at[cls.scatter.reshape(-1)].add(block.reshape(-1))
+                pref = (2.0 * jnp.pi ** 2.5
+                        / (p[:, None] * q[None, :]
+                           * jnp.sqrt(p[:, None] + q[None, :])))
+                pref = pref * bra["cc"][:, None] * ket["cc"][None, :]
+                block = jnp.einsum("ait,abtu,bju->abij",
+                                   bra["E3"], M, E3k)
+                block = block * pref[:, :, None, None]
+
+                # flat nao^4 index from the two small AO-pair offset tables,
+                # broadcast on device (host-side broadcasting would embed a
+                # multi-MB constant into the XLA program)
+                itype = np.int32 if nao ** 4 < 2 ** 31 else np.int64
+                bra_idx = jnp.asarray(bra["ao_pair"].astype(itype))
+                ket_idx = jnp.asarray(ket["ao_pair"].astype(itype))
+                idx = (bra_idx[:, None, :, None] * itype(nao * nao)
+                       + ket_idx[None, :, None, :])
+                if out is None:
+                    out = jnp.zeros(nao ** 4, dtype=block.dtype)
+                out = out.at[idx.reshape(-1)].add(block.reshape(-1))
         return out.reshape(nao, nao, nao, nao)
 
     def energy_nuc(self, coords):
