@@ -106,6 +106,45 @@ def rhf(ovlp, hcore, eri, enuc, nelec, max_cycle=100, conv_tol=1e-11,
     )
 
 
+def rhf_energy_and_gradient(engine, coords, **kwargs):
+    """RHF total energy and analytic nuclear gradient.
+
+    Replaces pyscf's grad.RHF used for the reference's HF baselines
+    (scripts/MD/H30/md_H30_HF.py, scripts/MD/H2O-H3O+/md_H2O-H3O+_HF.py).
+
+    Method: converge SCF on host, then differentiate the variational
+    functional with the converged density D and energy-weighted density Q
+    held fixed:
+        g(R) = tr(D h(R)) + 1/2 [D_ij D_kl ((ij|kl) - 1/2 (ik|jl))]
+               + E_nuc(R) - tr(Q S(R)),
+    whose gradient at the SCF solution equals the exact dE/dR (the -tr(Q dS)
+    term is the Pulay/orthonormality force). The derivative integrals come
+    from autodiff of the JAX engine — no hand-coded derivative intors.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    coords = np.asarray(coords)
+    res = rhf_from_engine(engine, coords=coords, **kwargs)
+    D = res.dm
+    nocc = res.nocc
+    Cocc = res.mo_coeff[:, :nocc]
+    Q = 2.0 * (Cocc * res.mo_energy[:nocc]) @ Cocc.T
+
+    def functional(c):
+        h = engine.hcore(c)
+        g = engine.eri(c)
+        S = engine.overlap(c)
+        e1 = jnp.sum(D * h)
+        J = jnp.einsum("ij,ijkl->kl", D, g)
+        K = jnp.einsum("ij,ikjl->kl", D, g)
+        e2 = 0.5 * jnp.sum(D * (J - 0.5 * K))
+        return e1 + e2 + engine.energy_nuc(c) - jnp.sum(Q * S)
+
+    grad = np.array(jax.jit(jax.grad(functional))(coords))
+    return res.e_tot, grad, res
+
+
 def rhf_from_engine(engine, coords=None, **kwargs):
     """Convenience: run RHF directly from an IntegralEngine."""
     import numpy as _np

@@ -1,0 +1,63 @@
+"""H2O MD continuation workload (Figs. 3/7/8).
+
+Reference parity: scripts/MD/H2O/md_H2O_6_31G_FCI.py and the
+continuation variants — on-the-fly active learning driving a 300-step
+velocity-Verlet trajectory (dt = 5 a.u.), followed by per-frame accuracy
+evaluation against the exact solver for growing training-set prefixes
+(evaluate_accuracy_*.py). Artifacts follow the converge_EVCont_MD schema.
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+from ..backends.fci_backend import FCIBackend
+from ..learn.active import converge_EVCont_MD
+from ..model import ContinuationModel
+from .common import water, exact_fci_energy
+
+
+def main(basis="sto-3g", steps=300, dt=5.0, convergence_thresh=1e-3,
+         data_addition="farthest_point_ham", workdir=".",
+         evaluate_accuracy=True, n_eval_frames=10):
+    os.makedirs(workdir, exist_ok=True)
+    mol = water(basis=basis)
+    backend = FCIBackend()
+    trajectory = converge_EVCont_MD(
+        backend, mol, steps=steps, dt=dt,
+        convergence_thresh=convergence_thresh,
+        data_addition=data_addition, workdir=workdir)
+
+    if evaluate_accuracy:
+        # accuracy vs exact FCI for growing training prefixes
+        # (reference: evaluate_accuracy_6_31G.py:52-74)
+        frames = trajectory[:: max(1, len(trajectory) // n_eval_frames)]
+        exact = np.array([
+            exact_fci_energy(mol.set_geom(f))[0] for f in frames])
+        errs = []
+        for ntrn in range(1, backend.ntrain + 1):
+            sub = np.ix_(range(ntrn), range(ntrn))
+            m = ContinuationModel(mol, backend.overlap[sub],
+                                  backend.one_rdm[sub],
+                                  backend.two_rdm[sub])
+            pred = np.array([float(m.potential(f)) for f in frames])
+            errs.append(np.abs(pred - exact))
+        errs = np.array(errs)
+        np.savetxt(os.path.join(workdir, "accuracy_vs_training_size.txt"),
+                   errs)
+        print("max |E_cont - E_FCI| by training size:",
+              errs.max(axis=1))
+    return backend, trajectory
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--basis", default="sto-3g")
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--dt", type=float, default=5.0)
+    ap.add_argument("--workdir", default=".")
+    ap.add_argument("--no-accuracy", action="store_true")
+    args = ap.parse_args()
+    main(basis=args.basis, steps=args.steps, dt=args.dt,
+         workdir=args.workdir, evaluate_accuracy=not args.no_accuracy)

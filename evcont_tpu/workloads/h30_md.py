@@ -1,0 +1,94 @@
+"""H30 chain MD workload (Figs. 4/9) — continuation from ingested t-RDMs.
+
+Reference parity: scripts/MD/H30/md_H30_evcont_from_DMRG.py — continuation
+MD (300 steps, dt = 5) whose training states come from DMRG, with restart
+from saved overlap/one_rdm/two_rdm.npy artifacts (:72-87) — plus the HF
+baseline MD (md_H30_HF.py).
+
+block2/DMRG is unavailable in this environment, so the training data must
+be supplied as checkpoint artifacts (any external solver producing the
+schema works). With --n-atoms small enough for FCI (<= ~12), --train-fci
+generates the artifacts in-process, exercising the identical restart code
+path at reduced scale.
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+from ..backends.trdm_ingest import TRDMIngestBackend
+from ..learn.checkpoints import save_state
+from ..md.driver import get_trajectory
+from ..model import ContinuationModel
+from ..solvers.scf import rhf_energy_and_gradient
+from ..integrals.engine import IntegralEngine
+from .common import h_chain
+
+
+def train_fci_artifacts(n_atoms, basis, train_dists, workdir):
+    from ..backends.fci_backend import FCIBackend
+    backend = FCIBackend()
+    for d in train_dists:
+        backend.append_to_rdms(h_chain(n_atoms, d, basis=basis))
+    save_state(workdir, backend.overlap, backend.one_rdm, backend.two_rdm,
+               trn_times=list(range(backend.ntrain)))
+
+
+def main(n_atoms=30, basis="sto-6g", d0=1.9, steps=300, dt=5.0,
+         workdir=".", train_fci=False,
+         train_dists=(1.2, 1.6, 2.0, 2.4, 2.8), hf_baseline=False):
+    os.makedirs(workdir, exist_ok=True)
+    mol = h_chain(n_atoms, d0, basis=basis)
+
+    if train_fci:
+        train_fci_artifacts(n_atoms, basis, train_dists, workdir)
+
+    backend = TRDMIngestBackend().load_state_files(workdir)
+    model = ContinuationModel(mol, backend.overlap, backend.one_rdm,
+                              backend.two_rdm)
+    with open(os.path.join(workdir, "traj_H30.xyz"), "w") as tf, \
+            open(os.path.join(workdir, "ens_H30.xyz"), "w") as ef:
+        coords, epot, ekin = get_trajectory(
+            model, init_coords=mol.coords, dt=dt, steps=steps,
+            trajectory_output=tf, energy_output=ef)
+    np.save(os.path.join(workdir, "traj_H30.npy"), coords)
+
+    if hf_baseline:
+        # host-loop HF MD (reference md_H30_HF.py); analytic HF forces
+        eng = IntegralEngine(mol)
+        masses = mol.masses_au()
+        c = np.asarray(mol.coords)
+        v = np.zeros_like(c)
+        _, g, _ = rhf_energy_and_gradient(eng, c)
+        f = -g
+        hf_traj, hf_ens = [], []
+        for _ in range(steps):
+            v_half = v + 0.5 * dt * f / masses[:, None]
+            c = c + dt * v_half
+            e, g, _ = rhf_energy_and_gradient(eng, c)
+            f = -g
+            v = v_half + 0.5 * dt * f / masses[:, None]
+            hf_traj.append(c.copy())
+            hf_ens.append(e)
+        np.save(os.path.join(workdir, "traj_H30_HF.npy"),
+                np.array(hf_traj))
+        np.savetxt(os.path.join(workdir, "ens_H30_HF.txt"),
+                   np.array(hf_ens))
+    return coords, epot
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--n-atoms", type=int, default=30)
+    ap.add_argument("--basis", default="sto-6g")
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--workdir", default=".")
+    ap.add_argument("--train-fci", action="store_true",
+                    help="generate training artifacts with the in-process "
+                         "FCI solver (small chains only)")
+    ap.add_argument("--hf-baseline", action="store_true")
+    args = ap.parse_args()
+    main(n_atoms=args.n_atoms, basis=args.basis, steps=args.steps,
+         workdir=args.workdir, train_fci=args.train_fci,
+         hf_baseline=args.hf_baseline)

@@ -1,0 +1,211 @@
+"""Zundel-thermodynamics production pipeline (Figs. 5/10/12).
+
+Reference parity: the five-stage batch/offline flow of
+scripts/MD/Zundel_thermodynamics/continuation/01..05:
+
+  stage 1  training-set selection from trajectory pools by integral-space
+           farthest-point sampling            (01_..._trn_set_generation.py)
+  stage 2  one exact solver job per training geometry
+           (02_..._run_DMRG.py; here: the package FCI solver — block2 is
+           unavailable, external DMRG results enter via the stage-3 file
+           schema instead)
+  stage 3  pairwise t-RDMs, one (i, j) job per pair, written to
+           MPS_cross_i_j/{ovlp,one_rdm,two_rdm}.npy with exchange-
+           compressed two_rdm                  (03_..._evaluate_MPS_t_RDMs.py)
+  stage 4  NVT-Berendsen MD per seed (Maxwell-Boltzmann init at 298.15 K)
+           consuming the pairwise matrix elements, with dipole-moment and
+           Mulliken-charge observables         (04_..._continuation_MD.py)
+  stage 5  PES accuracy test vs reference energies for training subsets
+           (05_..._test_potential_energy.py)
+
+Each stage is an independent function operating through the file system —
+the job-array pattern of the reference — so stages can run as separate
+processes/machines. Stages 1, 4, 5 are device-batched.
+"""
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from ..backends.fci_backend import FCIBackend
+from ..backends.trdm_ingest import TRDMIngestBackend
+from ..integrals.engine import IntegralEngine
+from ..learn import selection
+from ..md.driver import get_trajectory
+from ..md.integrators import maxwell_boltzmann
+from ..md.observables import dipole_moment, mulliken_charges
+from ..model import ContinuationModel
+from ..oao import loewdin_trafo, transform_integrals, compress_exchange
+from ..solvers.fci import FCISolver
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+def stage1_select_training_set(mol, pool_trajectories, n_train, workdir="."):
+    """Greedy integral-space farthest-point selection of n_train geometries
+    from candidate trajectory frames (reference 01:107-124, MPI loop ->
+    device batch)."""
+    os.makedirs(workdir, exist_ok=True)
+    pool = np.concatenate([np.asarray(t).reshape(-1, mol.natm, 3)
+                           for t in pool_trajectories])
+    engine = IntegralEngine(mol)
+    chosen = [0]
+    for _ in range(n_train - 1):
+        trn = [pool[i] for i in chosen]
+        idx = selection.select_farthest_point_ham(engine, trn, pool)
+        chosen.append(int(idx))
+    geoms = pool[chosen]
+    np.save(os.path.join(workdir, "trn_geometries.npy"), geoms)
+    with open(os.path.join(workdir, "trn_geometries.txt"), "w") as fl:
+        for k, g in enumerate(geoms):
+            fl.write(f"# geometry {k}\n")
+            for sym, xyz in zip(mol.symbols, g):
+                fl.write(f"{sym} {xyz[0]} {xyz[1]} {xyz[2]}\n")
+    return geoms
+
+
+# ---------------------------------------------------------------------------
+def stage2_solve_training_state(mol, train_id, workdir=".", solver="fci"):
+    """Solve one training geometry exactly and store the state
+    (job-array style: one call per training id, reference 02:22)."""
+    geoms = np.load(os.path.join(workdir, "trn_geometries.npy"))
+    mol_i = mol.set_geom(geoms[train_id])
+    engine = IntegralEngine(mol_i)
+    b = engine.compute_jit(np.asarray(mol_i.coords))
+    trafo = np.array(loewdin_trafo(b.ovlp))
+    h1, h2 = transform_integrals(np.array(b.hcore), np.array(b.eri), trafo)
+    if solver != "fci":
+        raise NotImplementedError(
+            "external DMRG states enter through the stage-3 file schema")
+    e, vec = FCISolver(engine.nao, mol_i.nelec).kernel(
+        np.array(h1), np.array(h2))
+    out = os.path.join(workdir, f"solver_{train_id}")
+    os.makedirs(out, exist_ok=True)
+    np.savez(os.path.join(out, "state.npz"), vec=vec,
+             energy=e + float(b.enuc))
+    return e + float(b.enuc)
+
+
+# ---------------------------------------------------------------------------
+def stage3_pair_trdm(mol, i, j, workdir="."):
+    """t-RDMs for one training pair (i, j), written in the MPS_cross
+    schema with exchange-compressed two_rdm (reference 03:108-110)."""
+    vec_i = np.load(os.path.join(workdir, f"solver_{i}", "state.npz"))["vec"]
+    vec_j = np.load(os.path.join(workdir, f"solver_{j}", "state.npz"))["vec"]
+    engine = IntegralEngine(mol)
+    solver = FCISolver(engine.nao, mol.nelec)
+    rdm1, rdm2 = solver.trans_rdm12(vec_i, vec_j)
+    ovlp = np.vdot(vec_i, vec_j)
+    out = os.path.join(workdir, f"MPS_cross_{i}_{j}")
+    os.makedirs(out, exist_ok=True)
+    np.save(os.path.join(out, "ovlp.npy"), np.atleast_1d(ovlp))
+    np.save(os.path.join(out, "one_rdm.npy"), rdm1)
+    np.save(os.path.join(out, "two_rdm.npy"),
+            np.array(compress_exchange(jnp.asarray(rdm2))))
+
+
+# ---------------------------------------------------------------------------
+def stage4_continuation_md(mol, n_train, seed, steps=10000, dt=25.0,
+                           T=298.15, taut=250.0, workdir=".",
+                           observable_stride=1):
+    """NVT continuation MD for one seed with dipole/Mulliken observables
+    (reference 04). Returns (trajectory, dipoles, charges)."""
+    backend = TRDMIngestBackend().load(workdir, n_train)
+    model = ContinuationModel(mol, backend.overlap, backend.one_rdm,
+                              backend.two_rdm)
+    masses = mol.masses_au()
+    v0 = np.array(maxwell_boltzmann(jax.random.PRNGKey(seed), masses, T))
+    with open(os.path.join(workdir, f"traj_seed{seed}.xyz"), "w") as tf, \
+            open(os.path.join(workdir, f"ens_seed{seed}.xyz"), "w") as ef:
+        coords, epot, ekin = get_trajectory(
+            model, init_coords=mol.coords, dt=dt, steps=steps,
+            init_veloc=v0, ensemble="nvt_berendsen", T=T, taut=taut,
+            trajectory_output=tf, energy_output=ef)
+
+    frames = coords[::observable_stride]
+    engine = model.engine
+
+    @jax.jit
+    def obs(c):
+        _, _, rdm1, _ = model._state(c, model.overlap, model.one_rdm,
+                                     model.two_rdm)
+        return (dipole_moment(engine, masses, c, rdm1),
+                mulliken_charges(engine, c, rdm1))
+
+    dips, charges = [], []
+    for f in frames:
+        d, q = obs(f)
+        dips.append(np.array(d))
+        charges.append(np.array(q))
+    dips, charges = np.stack(dips), np.stack(charges)
+    np.save(os.path.join(workdir, f"dipole_moments_seed{seed}.npy"), dips)
+    np.save(os.path.join(workdir, f"charges_seed{seed}.npy"), charges)
+    np.save(os.path.join(workdir, f"trajectory_seed{seed}.npy"), coords)
+    return coords, dips, charges
+
+
+# ---------------------------------------------------------------------------
+def stage5_test_potential(mol, n_train, test_geometries, workdir=".",
+                          subset_sizes=None, reference_energies=None):
+    """Per-frame PES comparison for growing training subsets
+    (reference 05:182-210). Writes pes_subset_{N}.txt; if
+    reference_energies given, also pes_errors.txt."""
+    subset_sizes = subset_sizes or [n_train]
+    test = np.asarray(test_geometries)
+    results = {}
+    for N in subset_sizes:
+        backend = TRDMIngestBackend().load(workdir, n_train)
+        keep = list(range(N))
+        backend.prune_datapoints(keep)
+        model = ContinuationModel(mol, backend.overlap, backend.one_rdm,
+                                  backend.two_rdm)
+        ens = np.array([float(model.potential(c)) for c in test])
+        np.savetxt(os.path.join(workdir, f"pes_subset_{N}.txt"), ens)
+        results[N] = ens
+    if reference_energies is not None:
+        errs = np.stack([np.abs(results[N] - reference_energies)
+                         for N in subset_sizes])
+        np.savetxt(os.path.join(workdir, "pes_errors.txt"), errs)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("stage", type=int, choices=[1, 2, 3, 4, 5])
+    ap.add_argument("--workdir", default=".")
+    ap.add_argument("--basis", default="sto-3g")
+    ap.add_argument("--n-train", type=int, default=4)
+    ap.add_argument("--train-id", type=int, default=0)
+    ap.add_argument("--pair", type=int, nargs=2, default=(0, 0))
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--steps", type=int, default=100)
+    args = ap.parse_args()
+
+    from .common import water
+    mol = water(basis=args.basis)
+    if args.stage == 1:
+        rng = np.random.default_rng(0)
+        pool = np.asarray(mol.coords)[None] \
+            + 0.05 * rng.standard_normal((50, mol.natm, 3))
+        stage1_select_training_set(mol, [pool], args.n_train,
+                                   workdir=args.workdir)
+    elif args.stage == 2:
+        stage2_solve_training_state(mol, args.train_id,
+                                    workdir=args.workdir)
+    elif args.stage == 3:
+        stage3_pair_trdm(mol, args.pair[0], args.pair[1],
+                         workdir=args.workdir)
+    elif args.stage == 4:
+        stage4_continuation_md(mol, args.n_train, args.seed,
+                               steps=args.steps, workdir=args.workdir)
+    elif args.stage == 5:
+        geoms = np.load(os.path.join(args.workdir, "trn_geometries.npy"))
+        stage5_test_potential(mol, args.n_train, geoms,
+                              workdir=args.workdir,
+                              subset_sizes=[2, args.n_train])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Workload smoke tests at reduced scale (full configurations are run via
+the module CLIs; see evcont_tpu/workloads/)."""
+
+import numpy as np
+import pytest
+
+from evcont_tpu.workloads.common import water
+
+
+def test_h6_pes_workload(tmp_path):
+    from evcont_tpu.workloads import h6_pes
+    h6_pes.main(n_atoms=4, basis="sto-3g", n_test=6, workdir=str(tmp_path),
+                with_references=True)
+    pred = np.loadtxt(tmp_path / "predicted_surface_3_datapoints.txt")
+    exact = np.loadtxt(tmp_path / "exact_surface.txt")
+    hf = np.loadtxt(tmp_path / "HF_surface.txt")
+    # 3-training-point continuation tracks FCI closely and beats HF
+    assert np.abs(pred[:, 1] - exact[:, 1]).max() < 5e-3
+    assert (np.abs(pred[:, 1] - exact[:, 1]).mean()
+            < np.abs(hf[:, 1] - exact[:, 1]).mean())
+
+
+def test_h6_excited_workload(tmp_path):
+    from evcont_tpu.workloads import h6_excited
+    h6_excited.main(n_atoms=4, n_test=4, nroots_reference=4,
+                    nroots_predict=2, workdir=str(tmp_path))
+    ms = np.loadtxt(tmp_path / "predicted_surface_multistate_0_1.txt")
+    ex = np.loadtxt(tmp_path / "exact_surface_multistate.txt")
+    # trained on roots {0,1}: both predicted roots close to exact
+    assert np.abs(ms[:, 1] - ex[:, 1]).max() < 5e-3
+    assert np.abs(ms[:, 2] - ex[:, 2]).max() < 5e-2
+
+
+def test_zundel_pipeline_stages(tmp_path):
+    from evcont_tpu.workloads import zundel_pipeline as zp
+    mol = water("sto-3g")
+    rng = np.random.default_rng(0)
+    pool = np.asarray(mol.coords)[None] \
+        + 0.08 * rng.standard_normal((12, mol.natm, 3))
+    wd = str(tmp_path)
+    n_train = 2
+    zp.stage1_select_training_set(mol, [pool], n_train, workdir=wd)
+    for i in range(n_train):
+        zp.stage2_solve_training_state(mol, i, workdir=wd)
+    for i in range(n_train):
+        for j in range(i + 1):
+            zp.stage3_pair_trdm(mol, i, j, workdir=wd)
+    coords, dips, charges = zp.stage4_continuation_md(
+        mol, n_train, seed=1, steps=5, dt=10.0, workdir=wd)
+    assert coords.shape == (5, 3, 3)
+    assert dips.shape == (5, 3)
+    # Mulliken charges sum to the molecular charge (0)
+    np.testing.assert_allclose(charges.sum(axis=1), 0.0, atol=1e-8)
+
+    geoms = np.load(tmp_path / "trn_geometries.npy")
+    res = zp.stage5_test_potential(mol, n_train, geoms, workdir=wd,
+                                   subset_sizes=[n_train])
+    assert np.all(np.isfinite(res[n_train]))
+
+
+def test_h30_workload_restart_path(tmp_path):
+    from evcont_tpu.workloads import h30_md
+    coords, epot = h30_md.main(
+        n_atoms=4, basis="sto-3g", d0=1.8, steps=5, dt=5.0,
+        workdir=str(tmp_path), train_fci=True,
+        train_dists=(1.4, 1.8, 2.4))
+    assert coords.shape == (5, 4, 3)
+    assert np.all(np.isfinite(epot))
+    # restart: a second run reuses the saved artifacts without retraining
+    coords2, _ = h30_md.main(
+        n_atoms=4, basis="sto-3g", d0=1.8, steps=5, dt=5.0,
+        workdir=str(tmp_path), train_fci=False)
+    np.testing.assert_allclose(coords2, coords, atol=1e-10)
