@@ -4,21 +4,22 @@ Reference parity: FCI_EVCont_obj (evcont/FCI_EVCont.py:10-151), with the
 pyscf FCI solver replaced by evcont_tpu.solvers.fci and integrals from the
 JAX engine.
 
-Divergence: the reference solves FCI in the canonical-MO basis by default
-and rotates the CI vector to OAO afterwards (transform_ci,
-FCI_EVCont.py:79-85). FCI is invariant under orbital rotations within the
-full space, so this backend solves directly in the OAO basis — identical
-t-RDMs without the CI-rotation machinery. (cibasis='canonical' is accepted
-and solved in canonical MOs for solver-conditioning parity; the resulting
-states are rotated via determinant expansion — not yet implemented, so only
-'OAO' is currently allowed.)
+All three cibasis choices of the reference are supported ('canonical' is
+its default, FCI_EVCont.py:18): the CI problem is solved in the requested
+basis and the resulting vectors are rotated exactly to the shared OAO basis
+via determinant-overlap transformation (solvers/ci_transform.py, replacing
+pyscf's transform_ci used at FCI_EVCont.py:79-85). FCI is invariant under
+orbital rotations within the full space, so 'OAO' (the default here) gives
+identical t-RDMs without the rotation step.
 """
 
 import numpy as np
 
 from ..integrals.engine import IntegralEngine
 from ..oao import loewdin_trafo, transform_integrals, compress_exchange
+from ..solvers.ci_transform import transform_ci
 from ..solvers.fci import FCISolver
+from ..solvers.localization import get_basis
 from .base import EVContBackend
 
 
@@ -36,10 +37,7 @@ class FCIBackend(EVContBackend):
                 sector like pyscf's direct_spin0; None allows all states.
         """
         super().__init__()
-        if cibasis != "OAO":
-            raise NotImplementedError(
-                "only cibasis='OAO' is supported (physically identical to "
-                "the reference's canonical default for FCI)")
+        assert cibasis in ("OAO", "canonical", "split"), cibasis
         self.cibasis = cibasis
         self.nroots = nroots
         if roots_train is None:
@@ -63,9 +61,12 @@ class FCIBackend(EVContBackend):
         (reference: FCI_EVCont.py:58-131)."""
         engine = self._engine(mol)
         bundle = engine.compute_jit(np.asarray(mol.coords))
-        trafo = np.array(loewdin_trafo(bundle.ovlp))
+        if self.cibasis == "OAO":
+            basis = np.array(loewdin_trafo(bundle.ovlp))
+        else:
+            basis = get_basis(engine, mol.coords, self.cibasis)
         h1, h2 = transform_integrals(
-            np.array(bundle.hcore), np.array(bundle.eri), trafo)
+            np.array(bundle.hcore), np.array(bundle.eri), basis)
         h1, h2 = np.array(h1), np.array(h2)
         norb = engine.nao
 
@@ -79,6 +80,14 @@ class FCIBackend(EVContBackend):
             e_all, vec_all = [e], [vec]
         else:
             e_all, vec_all = solver.kernel(h1, h2, nroots=nroots_train)
+
+        if self.cibasis != "OAO":
+            # rotate training states to the shared OAO basis
+            # (reference: FCI_EVCont.py:79-85)
+            S_ao = np.array(bundle.ovlp)
+            basis_oao = np.array(loewdin_trafo(bundle.ovlp))
+            u = basis.T @ S_ao @ basis_oao
+            vec_all = [transform_ci(v, mol.nelec, u) for v in vec_all]
 
         mindex = 0 if not self.mol_index else max(self.mol_index) + 1
         enuc = mol.energy_nuc()

@@ -80,6 +80,45 @@ def excitation_matrices(norb, nelec):
     return strings, mats
 
 
+def gather_link_tables(norb, nelec):
+    """Gather-form link tables for the native kernels: entries grouped by
+    *target* string I so OpenMP threads own disjoint outputs.
+
+    Returns (row_ptr int64 (nstr+1,), tbl_pq int32, tbl_src int32,
+    tbl_sign float64)."""
+    strings = make_strings(norb, nelec)
+    index = _string_index(strings)
+    nstr = len(strings)
+    per_target = [[] for _ in range(nstr)]
+    for j, occ in enumerate(strings):
+        occ_set = set(occ)
+        for q in occ:
+            kq = occ.index(q)
+            sign_q = (-1) ** kq
+            rest = occ[:kq] + occ[kq + 1:]
+            for p in range(norb):
+                if p != q and p in occ_set:
+                    continue
+                if p == q:
+                    i, sign = j, 1.0
+                else:
+                    kp = sum(1 for o in rest if o < p)
+                    sign = sign_q * ((-1) ** kp)
+                    i = index[tuple(sorted(rest + (p,)))]
+                per_target[i].append((p * norb + q, j, float(sign)))
+    row_ptr = np.zeros(nstr + 1, dtype=np.int64)
+    pqs, srcs, signs = [], [], []
+    for i in range(nstr):
+        row_ptr[i + 1] = row_ptr[i] + len(per_target[i])
+        for (pq, j, s) in per_target[i]:
+            pqs.append(pq)
+            srcs.append(j)
+            signs.append(s)
+    return (row_ptr, np.array(pqs, dtype=np.int32),
+            np.array(srcs, dtype=np.int32),
+            np.array(signs, dtype=np.float64))
+
+
 def occupation_table(strings, norb):
     occ = np.zeros((len(strings), norb))
     for i, s in enumerate(strings):
@@ -113,7 +152,7 @@ class FCISolver:
         rdm1, rdm2 = solver.trans_rdm12(bra, ket)
     """
 
-    def __init__(self, norb, nelec, spin="singlet"):
+    def __init__(self, norb, nelec, spin="singlet", use_native=True):
         if isinstance(nelec, (tuple, list)):
             na, nb = nelec
         else:
@@ -136,15 +175,73 @@ class FCISolver:
         self.spin = spin if na == nb else None
         self.dim = (len(strings_a), len(strings_b))
 
+        # native (C++/OpenMP) kernels for the excitation scatter/gather
+        self._native = None
+        if use_native:
+            from ..native import load_native
+            lib = load_native()
+            if lib is not None:
+                links_a = gather_link_tables(norb, na)
+                links_b = (links_a if nb == na
+                           else gather_link_tables(norb, nb))
+                self._native = (lib, links_a, links_b)
+
     # -- operator application ------------------------------------------------
     def _apply_E(self, C):
         """D[pq] = (E_pq C) for all pq; shape (norb^2, Na, Nb)."""
-        sps = self.space
         n2 = self.norb ** 2
-        D = np.empty((n2,) + C.shape)
+        C = np.ascontiguousarray(C, dtype=np.float64)
+        Na, Nb = C.shape
+        if self._native is not None:
+            import ctypes
+            lib, la, lb = self._native
+            D = np.zeros((n2, Na, Nb))
+
+            def ptr(a):
+                return a.ctypes.data_as(ctypes.c_void_p)
+
+            lib.expand_alpha(ptr(C), ptr(D), ptr(la[0]), ptr(la[1]),
+                             ptr(la[2]), ptr(la[3]),
+                             ctypes.c_int64(Na), ctypes.c_int64(Nb),
+                             ctypes.c_int64(n2))
+            lib.expand_beta(ptr(C), ptr(D), ptr(lb[0]), ptr(lb[1]),
+                            ptr(lb[2]), ptr(lb[3]),
+                            ctypes.c_int64(Na), ctypes.c_int64(Nb),
+                            ctypes.c_int64(n2))
+            return D
+        sps = self.space
+        D = np.empty((n2, Na, Nb))
         for k in range(n2):
             D[k] = sps.Ea[k] @ C + (sps.Eb[k] @ C.T).T
         return D
+
+    def _contract_E(self, G):
+        """sigma += sum_pq E_pq G[pq]; G shape (norb^2, Na, Nb)."""
+        n2 = self.norb ** 2
+        Na, Nb = G.shape[1], G.shape[2]
+        if self._native is not None:
+            import ctypes
+            lib, la, lb = self._native
+            G = np.ascontiguousarray(G, dtype=np.float64)
+            sig = np.zeros((Na, Nb))
+
+            def ptr(a):
+                return a.ctypes.data_as(ctypes.c_void_p)
+
+            lib.contract_alpha(ptr(G), ptr(sig), ptr(la[0]), ptr(la[1]),
+                               ptr(la[2]), ptr(la[3]),
+                               ctypes.c_int64(Na), ctypes.c_int64(Nb),
+                               ctypes.c_int64(n2))
+            lib.contract_beta(ptr(G), ptr(sig), ptr(lb[0]), ptr(lb[1]),
+                              ptr(lb[2]), ptr(lb[3]),
+                              ctypes.c_int64(Na), ctypes.c_int64(Nb),
+                              ctypes.c_int64(n2))
+            return sig
+        sps = self.space
+        sig = np.zeros((Na, Nb))
+        for k in range(n2):
+            sig += sps.Ea[k] @ G[k] + (sps.Eb[k] @ G[k].T).T
+        return sig
 
     def sigma(self, C, h1, eri):
         """H C with H = sum k_pq E_pq + 1/2 sum (pq|rs) E_pq E_rs,
@@ -155,9 +252,7 @@ class FCISolver:
         sig = np.tensordot(k1.reshape(-1), D, axes=1)
         G = np.tensordot(eri.reshape(n * n, n * n),
                          D.reshape(n * n, -1), axes=1).reshape(D.shape)
-        sps = self.space
-        for k in range(n * n):
-            sig += 0.5 * (sps.Ea[k] @ G[k] + (sps.Eb[k] @ G[k].T).T)
+        sig += 0.5 * self._contract_E(G)
         return sig
 
     def make_hdiag(self, h1, eri):
