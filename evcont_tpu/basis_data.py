@@ -95,8 +95,34 @@ BASIS_SETS = {
     },
 }
 
+BASIS_SETS["cc-pvdz"] = {
+    # Dunning correlation-consistent double-zeta (spherical d on O)
+    "H": [
+        (0, [13.0100, 1.9620, 0.4446, 0.1220],
+            [0.0196850, 0.1379770, 0.4781480, 0.5012400]),
+        (0, [0.1220], [1.0]),
+        (1, [0.7270], [1.0]),
+    ],
+    "O": [
+        (0, [11720.0, 1759.0, 400.8, 113.7, 37.03, 13.27, 5.025, 1.013,
+             0.3023],
+            [0.000710, 0.005470, 0.027837, 0.104800, 0.283062, 0.448719,
+             0.270952, 0.015458, -0.002585]),
+        (0, [11720.0, 1759.0, 400.8, 113.7, 37.03, 13.27, 5.025, 1.013,
+             0.3023],
+            [-0.000160, -0.001263, -0.006267, -0.025716, -0.070924,
+             -0.165411, -0.116955, 0.557368, 0.572759]),
+        (0, [0.3023], [1.0]),
+        (1, [17.70, 3.854, 1.046],
+            [0.043018, 0.228913, 0.508728]),
+        (1, [0.2753], [1.0]),
+        (2, [1.185], [1.0]),
+    ],
+}
+
 # Aliases accepting pyscf-style capitalization
-_ALIASES = {"sto6g": "sto-6g", "sto3g": "sto-3g", "631g": "6-31g"}
+_ALIASES = {"sto6g": "sto-6g", "sto3g": "sto-3g", "631g": "6-31g",
+            "ccpvdz": "cc-pvdz"}
 
 
 def get_element_basis(basis_name, symbol):

@@ -37,6 +37,7 @@ from ..molecule import Molecule
 from .mcmurchie import hermite_E_dense, hermite_R_dense, cart_components
 from .shells import (
     build_shell_structure,
+    cart2sph_ao_matrix,
     primitive_classes,
     pair_scatter_indices,
     cartesian_pairs,
@@ -85,18 +86,41 @@ class IntegralEngine:
     def __init__(self, mol: Molecule):
         self.mol = mol
         self.structure = build_shell_structure(mol)
-        self.nao = self.structure.nao
+        # internal (cartesian) AO layout used by the scatter kernels
+        self._nao_cart = self.structure.nao
         self.natm = mol.natm
         self.charges = mol.numbers.astype(np.float64)
         self._prim = primitive_classes(self.structure)
         self._pairs = self._build_pair_classes()
+        # shells with l >= 2 are exposed in the spherical-harmonic basis
+        # (pyscf's default); s/p-only molecules skip the transform
+        if self.structure.max_l >= 2:
+            self._sph_q = cart2sph_ao_matrix(self.structure)
+            self.nao = self.structure.nao_sph
+        else:
+            self._sph_q = None
+            self.nao = self._nao_cart
+
+    def _to_sph2(self, M):
+        if self._sph_q is None:
+            return M
+        Q = jnp.asarray(self._sph_q)
+        return Q.T @ M @ Q
+
+    def _to_sph4(self, G):
+        if self._sph_q is None:
+            return G
+        Q = jnp.asarray(self._sph_q)
+        for _ in range(4):
+            G = jnp.tensordot(G, Q, axes=[[0], [0]])
+        return G
 
     # ------------------------------------------------------------------
     # static structure
     # ------------------------------------------------------------------
     def _build_pair_classes(self):
         classes = []
-        nao = self.nao
+        nao = self._nao_cart
         for la, lb in itertools.product(sorted(self._prim), repeat=2):
             pa, pb = self._prim[la], self._prim[lb]
             ia, ib = cartesian_pairs(len(pa.exp), len(pb.exp))
@@ -140,7 +164,7 @@ class IntegralEngine:
         return E[:, ta[:, None], tb[None, :], t]
 
     def _scatter_pairs(self, per_class_vals):
-        nao = self.nao
+        nao = self._nao_cart
         out = jnp.zeros(nao * nao, dtype=per_class_vals[0][1].dtype)
         for cls, vals in per_class_vals:
             out = out.at[cls.scatter.reshape(-1)].add(vals.reshape(-1))
@@ -160,7 +184,7 @@ class IntegralEngine:
                      * self._gather_comp(E[1], ay, by, 0)
                      * self._gather_comp(E[2], az, bz, 0))
             vals.append((cls, block * pref[:, None, None]))
-        return self._scatter_pairs(vals)
+        return self._to_sph2(self._scatter_pairs(vals))
 
     def kinetic(self, coords):
         vals = []
@@ -190,7 +214,7 @@ class IntegralEngine:
             sz, kz = s_and_k(E[2], az, bz)
             block = kx * sy * sz + sx * ky * sz + sx * sy * kz
             vals.append((cls, block * pref[:, None, None]))
-        return self._scatter_pairs(vals)
+        return self._to_sph2(self._scatter_pairs(vals))
 
     def _E3(self, E, la, lb):
         """Dense bra/ket angular tensor (n, ca, cb, nt, nt, nt) flattened to
@@ -222,7 +246,7 @@ class IntegralEngine:
             cb = (cls.lb + 1) * (cls.lb + 2) // 2
             block = block.reshape(-1, ca, cb)
             vals.append((cls, -block * pref[:, None, None]))
-        return self._scatter_pairs(vals)
+        return self._to_sph2(self._scatter_pairs(vals))
 
     def hcore(self, coords):
         return self.kinetic(coords) + self.nuclear(coords)
@@ -260,7 +284,7 @@ class IntegralEngine:
                         factors.append(s0)
                 block = factors[0] * factors[1] * factors[2]
                 vals.append((cls, block * pref[:, None, None]))
-            comps.append(self._scatter_pairs(vals))
+            comps.append(self._to_sph2(self._scatter_pairs(vals)))
         return jnp.stack(comps)
 
     def _eri_pair_data(self, coords):
@@ -288,7 +312,7 @@ class IntegralEngine:
     def eri(self, coords):
         """Two-electron repulsion integrals (ij|kl), chemist notation,
         full (nao, nao, nao, nao) tensor."""
-        nao = self.nao
+        nao = self._nao_cart
         pairs = self._eri_pair_data(coords)
         out = None
         for bra in pairs:
@@ -331,7 +355,7 @@ class IntegralEngine:
                 if out is None:
                     out = jnp.zeros(nao ** 4, dtype=block.dtype)
                 out = out.at[idx.reshape(-1)].add(block.reshape(-1))
-        return out.reshape(nao, nao, nao, nao)
+        return self._to_sph4(out.reshape(nao, nao, nao, nao))
 
     def energy_nuc(self, coords):
         Z = jnp.asarray(self.charges)

@@ -28,6 +28,61 @@ def _double_factorial(n):
     return out
 
 
+def cart_overlap_metric(l):
+    """Angular self/cross-overlap metric of the cartesian components of a
+    shell in the engine's normalization convention (each component carries
+    the (l,0,0)-based primitive norm). Exponent-independent; used to build
+    exactly normalized cartesian->spherical transforms."""
+    from .mcmurchie import cart_components
+
+    comps = cart_components(l)
+    n = len(comps)
+    M = np.zeros((n, n))
+    norm_l00 = _double_factorial(2 * l - 1)
+    for a, ca in enumerate(comps):
+        for b, cb in enumerate(comps):
+            val = 1.0
+            for d in range(3):
+                s = ca[d] + cb[d]
+                if s % 2 == 1:
+                    val = 0.0
+                    break
+                val *= _double_factorial(s - 1)
+            M[a, b] = val / norm_l00
+    return M
+
+
+# raw real-solid-harmonic polynomials in cartesian components (rows: m =
+# -l..l, columns: cart_components(l) order). Normalization is fixed
+# numerically against cart_overlap_metric, so only ratios matter here.
+_SPH_POLY = {
+    0: np.array([[1.0]]),
+    1: np.array([  # pyscf spherical p order: (x, y, z) == cartesian
+        [1.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0],
+        [0.0, 0.0, 1.0],
+    ]),
+    2: np.array([  # cart order: xx, xy, xz, yy, yz, zz
+        [0.0, 1.0, 0.0, 0.0, 0.0, 0.0],     # m=-2: xy
+        [0.0, 0.0, 0.0, 0.0, 1.0, 0.0],     # m=-1: yz
+        [-1.0, 0.0, 0.0, -1.0, 0.0, 2.0],   # m= 0: 2z^2 - x^2 - y^2
+        [0.0, 0.0, 1.0, 0.0, 0.0, 0.0],     # m=+1: xz
+        [1.0, 0.0, 0.0, -1.0, 0.0, 0.0],    # m=+2: x^2 - y^2
+    ]),
+}
+
+
+def cart2sph_matrix(l):
+    """(nsph, ncart) transform from the engine's normalized cartesian
+    components to unit-normalized real spherical components."""
+    if l <= 1:
+        return np.eye((l + 1) * (l + 2) // 2)
+    P = _SPH_POLY[l]
+    M = cart_overlap_metric(l)
+    norms = np.sqrt(np.einsum("mc,cd,md->m", P, M, P))
+    return P / norms[:, None]
+
+
 def _primitive_norm(a, l):
     """Normalization of a cartesian primitive x^l exp(-a r^2) (component
     (l,0,0); all components share this norm for l <= 1)."""
@@ -43,17 +98,23 @@ class Shell:
     l: int
     exps: np.ndarray
     coefs: np.ndarray  # include primitive norms and contracted renorm
-    ao_start: int
+    ao_start: int      # offset into the cartesian AO ordering
+    sph_start: int     # offset into the spherical AO ordering
 
     @property
     def ncart(self):
         return (self.l + 1) * (self.l + 2) // 2
 
+    @property
+    def nsph(self):
+        return 2 * self.l + 1
+
 
 @dataclass(frozen=True)
 class ShellStructure:
     shells: tuple
-    nao: int
+    nao: int        # cartesian AO count (internal/scatter layout)
+    nao_sph: int    # spherical AO count (user-facing for max_l >= 2)
     natm: int
 
     @property
@@ -65,12 +126,9 @@ def build_shell_structure(mol):
     """Expand a Molecule into normalized contracted shells with AO offsets."""
     shells = []
     ao = 0
+    sph = 0
     for atom_idx, symbol in enumerate(mol.symbols):
         for (l, exps, coefs) in get_element_basis(mol.basis, symbol):
-            if l > 1:
-                raise NotImplementedError(
-                    "shells with l >= 2 need per-component normalization; "
-                    "only s/p supported so far")
             exps = np.asarray(exps, dtype=np.float64)
             coefs = np.asarray(coefs, dtype=np.float64)
             # coefficients multiply normalized primitives
@@ -86,9 +144,23 @@ def build_shell_structure(mol):
             self_ovlp = np.einsum("i,j,ij->", cn, cn, ovlp)
             cn = cn / np.sqrt(self_ovlp)
             shells.append(Shell(atom=atom_idx, l=l, exps=exps, coefs=cn,
-                                ao_start=ao))
+                                ao_start=ao, sph_start=sph))
             ao += (l + 1) * (l + 2) // 2
-    return ShellStructure(shells=tuple(shells), nao=ao, natm=mol.natm)
+            sph += 2 * l + 1
+    return ShellStructure(shells=tuple(shells), nao=ao, nao_sph=sph,
+                          natm=mol.natm)
+
+
+def cart2sph_ao_matrix(structure):
+    """Block-diagonal (nao_cart, nao_sph) transform: AO matrices in the
+    engine's cartesian layout map to the spherical-harmonic AO basis as
+    Q^T M Q. Identity blocks for s/p shells."""
+    Q = np.zeros((structure.nao, structure.nao_sph))
+    for sh in structure.shells:
+        T = cart2sph_matrix(sh.l)          # (nsph, ncart)
+        Q[sh.ao_start:sh.ao_start + sh.ncart,
+          sh.sph_start:sh.sph_start + sh.nsph] = T.T
+    return Q
 
 
 @dataclass(frozen=True)

@@ -16,10 +16,15 @@ from ..utils.constants import AU2DEBYE
 
 
 def ao_atom_map(engine):
-    """Static map AO index -> atom index."""
+    """Static map AO index -> atom index (in the engine's user-facing AO
+    layout: spherical when d shells are present)."""
     m = np.zeros(engine.nao, dtype=np.int32)
+    spherical = getattr(engine, "_sph_q", None) is not None
     for sh in engine.structure.shells:
-        m[sh.ao_start:sh.ao_start + sh.ncart] = sh.atom
+        if spherical:
+            m[sh.sph_start:sh.sph_start + sh.nsph] = sh.atom
+        else:
+            m[sh.ao_start:sh.ao_start + sh.ncart] = sh.atom
     return m
 
 

@@ -119,3 +119,18 @@ def test_integral_gradients_vs_finite_difference():
         cm[i, d] -= eps
         fd = (float(loss(cp)) - float(loss(cm))) / (2 * eps)
         assert abs(g[i, d] - fd) < 1e-6 * max(1.0, abs(fd))
+
+
+def test_h2o_ccpvdz_rhf_literature():
+    """d-function path: spherical-harmonic AOs, per-shell cart->sph
+    transform, cc-pVDZ basis data. Literature RHF/cc-pVDZ at the
+    experimental geometry."""
+    mol = water("cc-pvdz")
+    eng = IntegralEngine(mol)
+    assert eng.nao == 24
+    b = eng.compute_jit(np.asarray(mol.coords))
+    S = np.array(b.ovlp)
+    np.testing.assert_allclose(np.diag(S), 1.0, atol=1e-12)
+    res = rhf_from_engine(eng)
+    assert res.converged
+    assert abs(res.e_tot - (-76.026799)) < 2e-5
