@@ -5,14 +5,19 @@ reference evaluates t-RDMs between CAS states built on *different* MO
 bases per geometry with pygnme's nonorthogonal Wick theorem
 (CASCI_EVCont.py:173-319, MPI-split over occupation-string quadruples).
 
-pygnme is unavailable here; instead each CAS state is embedded into the
-full-orbital determinant space and rotated exactly to the shared OAO basis
-(transform_ci), after which t-RDMs reduce to orthonormal full-space CI
-algebra. This is mathematically identical to the nonorthogonal Wick result
-(both compute <psi_a|...|psi_b> exactly), at the cost of full-space CI
-vectors — practical up to ~14 orbitals. A batched generalized
-Slater-Condon kernel for larger spaces is the planned native (C++)
-replacement.
+Two equivalent evaluation paths are provided:
+  * method="wick" (default): the framework's own nonorthogonal kernel
+    (solvers/nonorthogonal.py) — batched Löwdin pairing over determinant
+    pairs, exact generalized Slater-Condon with branch-free zero-overlap
+    handling. Scales with the active space only (the pygnme replacement).
+  * method="fullspace": embed each CAS state into the full determinant
+    space and rotate it exactly to the shared OAO basis (transform_ci);
+    t-RDMs then reduce to orthonormal CI algebra. Exact but limited to
+    ~14 total orbitals; retained as the independent cross-check oracle.
+
+Both paths express every state in its own geometry's OAO frame and
+identify those frames as one index space — the eigenvector-continuation
+assumption shared with the reference.
 """
 
 import numpy as np
@@ -22,20 +27,29 @@ from ..oao import loewdin_trafo
 from ..solvers.casci import casci, embed_cas_civec
 from ..solvers.ci_transform import transform_ci
 from ..solvers.fci import FCISolver
+from ..solvers.nonorthogonal import cas_no_state, trans_rdm12_nonorthogonal
 from .base import EVContBackend
 
 
+def _sqrtm_psd(S):
+    w, V = np.linalg.eigh(S)
+    return (V * np.sqrt(np.maximum(w, 0.0))) @ V.T
+
+
 class CASCIBackend(EVContBackend):
-    def __init__(self, ncas, nelecas):
+    def __init__(self, ncas, nelecas, method="wick"):
         """
         Args:
             ncas: number of active orbitals.
             nelecas: active electrons (int or (na, nb)).
+            method: "wick" | "fullspace" (see module docstring).
         """
         super().__init__()
         self.ncas = ncas
         self.nelecas = nelecas
-        self.civecs = []          # full-space CI vectors in OAO basis
+        assert method in ("wick", "fullspace")
+        self.method = method
+        self.states = []          # wick: NOState; fullspace: CI vectors
         self._solver = None
         self._engine_cache = {}
 
@@ -57,32 +71,41 @@ class CASCIBackend(EVContBackend):
         res = casci(S_ao, hcore, eri, enuc, mol.nelec, self.ncas,
                     self.nelecas)
         assert res.converged, "underlying RHF did not converge"
-
-        # embed into the full determinant space (canonical-MO basis), then
-        # rotate exactly to the shared OAO basis
-        ci_full = embed_cas_civec(res.ci, norb, res.ncore, res.ncas,
-                                  mol.nelec)
-        basis_oao = np.array(loewdin_trafo(bundle.ovlp))
-        u = res.mo_coeff.T @ S_ao @ basis_oao
-        ci_oao = transform_ci(ci_full, mol.nelec, u)
-
-        if self._solver is None:
-            self._solver = FCISolver(norb, mol.nelec, spin=None)
-        solver = self._solver
-
-        self.civecs.append(ci_oao)
         self.ens.append(res.e_tot)
         self.mol_index.append(
             0 if not self.mol_index else max(self.mol_index) + 1)
 
-        ovlp_row, rdm1_row, rdm2_row = [], [], []
-        for i in range(len(self.civecs)):
-            ovlp_row.append(np.vdot(self.civecs[-1], self.civecs[i]))
-            rdm1, rdm2 = solver.trans_rdm12(self.civecs[-1], self.civecs[i])
-            rdm1_row.append(rdm1)
-            rdm2_row.append(rdm2)
+        if self.method == "wick":
+            # MOs in this geometry's OAO coordinates
+            d = _sqrtm_psd(S_ao) @ res.mo_coeff
+            na, nb = res.nelecas
+            state = cas_no_state(res.ci, d, res.ncore, res.ncas, (na, nb))
+            self.states.append(state)
+            ovlp_row, rdm1_row, rdm2_row = [], [], []
+            for st in self.states:
+                ov, r1, r2 = trans_rdm12_nonorthogonal(
+                    self.states[-1], st)
+                ovlp_row.append(ov)
+                rdm1_row.append(r1)
+                rdm2_row.append(r2)
+        else:
+            ci_full = embed_cas_civec(res.ci, norb, res.ncore, res.ncas,
+                                      mol.nelec)
+            basis_oao = np.array(loewdin_trafo(bundle.ovlp))
+            u = res.mo_coeff.T @ S_ao @ basis_oao
+            ci_oao = transform_ci(ci_full, mol.nelec, u)
+            if self._solver is None:
+                self._solver = FCISolver(norb, mol.nelec, spin=None)
+            self.states.append(ci_oao)
+            ovlp_row, rdm1_row, rdm2_row = [], [], []
+            for st in self.states:
+                ovlp_row.append(np.vdot(self.states[-1], st))
+                r1, r2 = self._solver.trans_rdm12(self.states[-1], st)
+                rdm1_row.append(r1)
+                rdm2_row.append(r2)
+
         self._grow(ovlp_row, rdm1_row, rdm2_row)
 
     def prune_datapoints(self, keep_ids):
         super().prune_datapoints(keep_ids)
-        self.civecs = [self.civecs[i] for i in keep_ids]
+        self.states = [self.states[i] for i in keep_ids]

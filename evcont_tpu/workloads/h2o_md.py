@@ -20,10 +20,20 @@ from .common import water, exact_fci_energy
 
 def main(basis="sto-3g", steps=300, dt=5.0, convergence_thresh=1e-3,
          data_addition="farthest_point_ham", workdir=".",
-         evaluate_accuracy=True, n_eval_frames=10):
+         evaluate_accuracy=True, n_eval_frames=10,
+         backend_type="fci", ncas=8, nelecas=4):
+    """backend_type="casci" with basis="cc-pvdz" reproduces the reference's
+    md_H2O_vdz_CAS_continuation.py configuration (CAS with ncas=8 active
+    orbitals, 4 active electrons, cross-geometry t-RDMs via the
+    nonorthogonal Wick kernel)."""
     os.makedirs(workdir, exist_ok=True)
     mol = water(basis=basis)
-    backend = FCIBackend()
+    if backend_type == "casci":
+        from ..backends.casci_backend import CASCIBackend
+        backend = CASCIBackend(ncas=ncas, nelecas=nelecas)
+        evaluate_accuracy = False  # FCI oracle not applicable
+    else:
+        backend = FCIBackend()
     trajectory = converge_EVCont_MD(
         backend, mol, steps=steps, dt=dt,
         convergence_thresh=convergence_thresh,
@@ -58,6 +68,10 @@ if __name__ == "__main__":
     ap.add_argument("--dt", type=float, default=5.0)
     ap.add_argument("--workdir", default=".")
     ap.add_argument("--no-accuracy", action="store_true")
+    ap.add_argument("--backend", default="fci", choices=["fci", "casci"])
+    ap.add_argument("--ncas", type=int, default=8)
+    ap.add_argument("--nelecas", type=int, default=4)
     args = ap.parse_args()
     main(basis=args.basis, steps=args.steps, dt=args.dt,
-         workdir=args.workdir, evaluate_accuracy=not args.no_accuracy)
+         workdir=args.workdir, evaluate_accuracy=not args.no_accuracy,
+         backend_type=args.backend, ncas=args.ncas, nelecas=args.nelecas)
