@@ -28,7 +28,7 @@ from .common import h_chain
 
 def main(n_atoms=10, basis="sto-6g", train_dists=(1.2, 1.6, 2.0, 2.4, 2.8),
          n_test=50, n_exact=10, displacement=0.1, seed=0, workdir=".",
-         batch_size=10):
+         batch_size=10, gap_baseline=True):
     os.makedirs(workdir, exist_ok=True)
     rng = np.random.default_rng(seed)
 
@@ -103,6 +103,16 @@ def main(n_atoms=10, basis="sto-6g", train_dists=(1.2, 1.6, 2.0, 2.4, 2.8),
     np.savetxt(os.path.join(workdir, "reference_en.txt"), np.array(ref_ens))
     np.savetxt(os.path.join(workdir, "continuation_force_error.txt"),
                np.array(force_err))
+
+    if gap_baseline:
+        # GAP/SOAP machine-learning baseline trained on the same points
+        # (reference: H10_continuation_3D_replacements.py:47-118)
+        from ..baselines.gap import GAPModel
+        gap = GAPModel(rcut=3.5 * max(train_dists), nmax=5, sigma=0.7).fit(
+            [np.asarray(h_chain(n_atoms, d).coords) for d in train_dists],
+            backend.ens)
+        gap_ens = np.array([gap.predict(c) for c in tests])
+        np.savetxt(os.path.join(workdir, "GAP_en.txt"), gap_ens)
 
     en_err = np.abs(ens[:n_exact] - np.array(ref_ens))
     print(f"energy MAE vs FCI ({n_exact} pts): {en_err.mean():.3e} Ha; "
