@@ -51,6 +51,16 @@ def get_trajectory(model, init_coords=None, dt=10.0, steps=10,
     epot = np.array(out["epot"])
     ekin = np.array(out["ekin"])
 
+    # failure detection (the reference's crash-and-restart model relies on
+    # hard asserts in the solvers, SURVEY.md §5; here non-finite dynamics
+    # are surfaced with the failing step index)
+    bad = ~(np.isfinite(epot) & np.isfinite(coords).all(axis=(1, 2)))
+    if bad.any():
+        first = int(np.argmax(bad))
+        raise FloatingPointError(
+            f"MD produced non-finite state at step {first} "
+            f"(epot={epot[first]}); check time step / training coverage")
+
     if trajectory_output is not None:
         for i in range(steps):
             write_xyz_frame(trajectory_output, mol.symbols, coords[i],

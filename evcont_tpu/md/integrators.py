@@ -75,6 +75,27 @@ def run_nve(energy_fn, masses, coords0, veloc0, dt, steps):
     return {"coords": coords, "veloc": veloc, "epot": epot, "ekin": ekin}
 
 
+def run_nve_ensemble(energy_fn, masses, coords0_batch, veloc0_batch, dt,
+                     steps):
+    """Batch of independent NVE trajectories via vmap — the TPU-native
+    replacement for the reference's job-array ensemble MD (one process per
+    seed, 04_Zundel_continuation_MD.py:32). All trajectories advance in
+    lockstep on device; the batch axis shards over the mesh's "data" axis.
+    """
+    return jax.vmap(
+        lambda c, v: run_nve(energy_fn, masses, c, v, dt, steps)
+    )(jnp.asarray(coords0_batch), jnp.asarray(veloc0_batch))
+
+
+def run_nvt_ensemble(energy_fn, masses, coords0_batch, veloc0_batch, dt,
+                     steps, T, taut):
+    """Batch of independent NVT-Berendsen trajectories via vmap."""
+    return jax.vmap(
+        lambda c, v: run_nvt_berendsen(energy_fn, masses, c, v, dt, steps,
+                                       T, taut)
+    )(jnp.asarray(coords0_batch), jnp.asarray(veloc0_batch))
+
+
 def run_nvt_berendsen(energy_fn, masses, coords0, veloc0, dt, steps,
                       T, taut):
     """NVT trajectory with a Berendsen thermostat: after each velocity-Verlet
