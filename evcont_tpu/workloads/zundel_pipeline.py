@@ -67,37 +67,78 @@ def stage1_select_training_set(mol, pool_trajectories, n_train, workdir="."):
 
 
 # ---------------------------------------------------------------------------
-def stage2_solve_training_state(mol, train_id, workdir=".", solver="fci"):
+def stage2_solve_training_state(mol, train_id, workdir=".", solver="fci",
+                                ncas=8, nelecas=4):
     """Solve one training geometry exactly and store the state
-    (job-array style: one call per training id, reference 02:22)."""
+    (job-array style: one call per training id, reference 02:22).
+
+    solver="fci" stores the full CI vector (small molecules);
+    solver="casci" stores the CAS CI vector + MO coefficients in this
+    geometry's OAO frame for the stage-3 nonorthogonal Wick evaluation
+    (production scale — the role DMRG/MPS files play in the reference).
+    External DMRG states enter through the stage-3 output schema directly.
+    """
     geoms = np.load(os.path.join(workdir, "trn_geometries.npy"))
     mol_i = mol.set_geom(geoms[train_id])
     engine = IntegralEngine(mol_i)
     b = engine.compute_jit(np.asarray(mol_i.coords))
-    trafo = np.array(loewdin_trafo(b.ovlp))
-    h1, h2 = transform_integrals(np.array(b.hcore), np.array(b.eri), trafo)
-    if solver != "fci":
-        raise NotImplementedError(
-            "external DMRG states enter through the stage-3 file schema")
-    e, vec = FCISolver(engine.nao, mol_i.nelec).kernel(
-        np.array(h1), np.array(h2))
     out = os.path.join(workdir, f"solver_{train_id}")
     os.makedirs(out, exist_ok=True)
-    np.savez(os.path.join(out, "state.npz"), vec=vec,
-             energy=e + float(b.enuc))
-    return e + float(b.enuc)
+
+    if solver == "fci":
+        trafo = np.array(loewdin_trafo(b.ovlp))
+        h1, h2 = transform_integrals(np.array(b.hcore), np.array(b.eri),
+                                     trafo)
+        e, vec = FCISolver(engine.nao, mol_i.nelec).kernel(
+            np.array(h1), np.array(h2))
+        e_tot = e + float(b.enuc)
+        np.savez(os.path.join(out, "state.npz"), kind="fci", vec=vec,
+                 energy=e_tot)
+    elif solver == "casci":
+        from ..solvers.casci import casci
+        S_ao = np.array(b.ovlp)
+        res = casci(S_ao, np.array(b.hcore), np.array(b.eri),
+                    float(b.enuc), mol_i.nelec, ncas, nelecas)
+        w, V = np.linalg.eigh(S_ao)
+        d = (V * np.sqrt(np.maximum(w, 0.0))) @ V.T @ res.mo_coeff
+        e_tot = res.e_tot
+        na, nb = res.nelecas
+        np.savez(os.path.join(out, "state.npz"), kind="casci", ci=res.ci,
+                 mo_oao=d, ncore=res.ncore, ncas=res.ncas,
+                 nelecas=np.array([na, nb]), energy=e_tot)
+    else:
+        raise ValueError(solver)
+    return e_tot
+
+
+def _load_state(workdir, idx, mol):
+    data = np.load(os.path.join(workdir, f"solver_{idx}", "state.npz"))
+    kind = str(data["kind"])
+    if kind == "fci":
+        return ("fci", data["vec"])
+    from ..solvers.nonorthogonal import cas_no_state
+    na, nb = [int(x) for x in data["nelecas"]]
+    return ("casci", cas_no_state(data["ci"], data["mo_oao"],
+                                  int(data["ncore"]), int(data["ncas"]),
+                                  (na, nb)))
 
 
 # ---------------------------------------------------------------------------
 def stage3_pair_trdm(mol, i, j, workdir="."):
     """t-RDMs for one training pair (i, j), written in the MPS_cross
     schema with exchange-compressed two_rdm (reference 03:108-110)."""
-    vec_i = np.load(os.path.join(workdir, f"solver_{i}", "state.npz"))["vec"]
-    vec_j = np.load(os.path.join(workdir, f"solver_{j}", "state.npz"))["vec"]
-    engine = IntegralEngine(mol)
-    solver = FCISolver(engine.nao, mol.nelec)
-    rdm1, rdm2 = solver.trans_rdm12(vec_i, vec_j)
-    ovlp = np.vdot(vec_i, vec_j)
+    from ..solvers.nonorthogonal import trans_rdm12_nonorthogonal
+
+    kind_i, st_i = _load_state(workdir, i, mol)
+    kind_j, st_j = _load_state(workdir, j, mol)
+    assert kind_i == kind_j
+    if kind_i == "fci":
+        engine = IntegralEngine(mol)
+        solver = FCISolver(engine.nao, mol.nelec)
+        rdm1, rdm2 = solver.trans_rdm12(st_i, st_j)
+        ovlp = np.vdot(st_i, st_j)
+    else:
+        ovlp, rdm1, rdm2 = trans_rdm12_nonorthogonal(st_i, st_j)
     out = os.path.join(workdir, f"MPS_cross_{i}_{j}")
     os.makedirs(out, exist_ok=True)
     np.save(os.path.join(out, "ovlp.npy"), np.atleast_1d(ovlp))
