@@ -13,10 +13,11 @@ Each evaluation runs the full inference pipeline on device: AO integrals
 generalized eigensolve, and nuclear forces by autodiff.
 
 vs_baseline: against the CPU reference-equivalent path (same mathematical
-pipeline, f64, single-thread XLA CPU on this host: 0.103 evals/s, measured
-2026-08-16; the upstream code itself cannot run here — no pyscf — so the
-CPU baseline is this framework's own CPU execution, which plays the role of
-the reference's NumPy/libcint implementation).
+pipeline, f64, single-thread XLA CPU on this host: 1.168 evals/s, measured
+2026-08-16 after the 8-fold ERI-symmetry rewrite; the upstream code itself
+cannot run here — no pyscf — so the CPU baseline is this framework's own
+CPU execution, which plays the role of the reference's NumPy/libcint
+implementation).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -29,7 +30,7 @@ import numpy as np
 BATCH = 32
 NTRAIN = 16
 REPS = 3
-CPU_BASELINE_EVALS_PER_SEC = 0.103
+CPU_BASELINE_EVALS_PER_SEC = 1.168
 
 
 def zundel_molecule():

@@ -68,6 +68,9 @@ class _PairClass:
     b: np.ndarray
     cc: np.ndarray           # coefficient product
     scatter: np.ndarray      # (n, ca, cb) int32 into flat (nao*nao)
+    # ERI upair extras (None for the ordered one-electron classes):
+    scatter_swapped: np.ndarray = None   # (n, ca, cb), (b,a)-ordered image
+    weight: np.ndarray = None            # 0.5 on i==j diagonal entries
 
 
 def _conv_table(nb, nk, L):
@@ -92,6 +95,7 @@ class IntegralEngine:
         self.charges = mol.numbers.astype(np.float64)
         self._prim = primitive_classes(self.structure)
         self._pairs = self._build_pair_classes()
+        self._upairs = self._build_upair_classes()
         # shells with l >= 2 are exposed in the spherical-harmonic basis
         # (pyscf's default); s/p-only molecules skip the transform
         if self.structure.max_l >= 2:
@@ -134,6 +138,38 @@ class IntegralEngine:
                 scatter=pair_scatter_indices(
                     ca, cb, pa.ao_start[ia], pb.ao_start[ib], nao),
             ))
+        return classes
+
+    def _build_upair_classes(self):
+        """Unordered shell-pair classes for the ERI path: one entry per
+        unordered primitive pair, realizing the (ab| = (ba| permutation
+        symmetry. Self-paired entries carry weight 0.5 (folded into the
+        coefficient product) because the final (1 + T1)(1 + T2)(1 + T3)
+        symmetrization pass maps them onto themselves."""
+        classes = []
+        nao = self._nao_cart
+        ls = sorted(self._prim)
+        for ka, la in enumerate(ls):
+            for lb in ls[ka:]:
+                pa, pb = self._prim[la], self._prim[lb]
+                na, nb_ = len(pa.exp), len(pb.exp)
+                if la == lb:
+                    iu, ju = np.triu_indices(na)
+                    ia, ib = iu.astype(np.int64), ju.astype(np.int64)
+                    weight = np.where(ia == ib, 0.5, 1.0)
+                else:
+                    ia, ib = cartesian_pairs(na, nb_)
+                    weight = np.ones(len(ia))
+                ca = (la + 1) * (la + 2) // 2
+                cb = (lb + 1) * (lb + 2) // 2
+                classes.append(_PairClass(
+                    la=la, lb=lb,
+                    atom_a=pa.atom[ia], atom_b=pb.atom[ib],
+                    a=pa.exp[ia], b=pb.exp[ib],
+                    cc=pa.coef[ia] * pb.coef[ib] * weight,
+                    scatter=pair_scatter_indices(
+                        ca, cb, pa.ao_start[ia], pb.ao_start[ib], nao),
+                ))
         return classes
 
     # ------------------------------------------------------------------
@@ -296,7 +332,7 @@ class IntegralEngine:
         program free of multi-MB constants and reuses pair work 2 x #classes
         times)."""
         data = []
-        for cls in self._pairs:
+        for cls in self._upairs:
             p, P, E = self._pair_E(coords[cls.atom_a], coords[cls.atom_b],
                                    cls.a, cls.b, cls.la, cls.lb)
             E3 = self._E3(E, cls.la, cls.lb)           # (n, cab, (L+1)^3)
@@ -311,12 +347,21 @@ class IntegralEngine:
 
     def eri(self, coords):
         """Two-electron repulsion integrals (ij|kl), chemist notation,
-        full (nao, nao, nao, nao) tensor."""
+        full (nao, nao, nao, nao) tensor.
+
+        8-fold permutation symmetry: quartets are enumerated over unordered
+        bra/ket shell pairs and unordered (bra, ket) class combinations
+        (~8x fewer Boys/Hermite evaluations); only the canonical image is
+        scattered, and the full tensor is restored by the group sum
+        (1 + T1)(1 + T2)(1 + T3) — three transpose-adds — with stabilizer
+        weights (0.5 per self-paired factor) pre-folded into the
+        coefficients."""
         nao = self._nao_cart
         pairs = self._eri_pair_data(coords)
         out = None
-        for bra in pairs:
-            for ket in pairs:
+        for bi, bra in enumerate(pairs):
+            for ket in pairs[bi:]:
+                same_class = ket is bra
                 p, q = bra["p"], ket["p"]
                 alpha = p[:, None] * q[None, :] / (p[:, None] + q[None, :])
                 L = bra["L"] + ket["L"]
@@ -340,6 +385,10 @@ class IntegralEngine:
                         / (p[:, None] * q[None, :]
                            * jnp.sqrt(p[:, None] + q[None, :])))
                 pref = pref * bra["cc"][:, None] * ket["cc"][None, :]
+                if same_class:
+                    # the full n1 x n1 grid contains both (P1, P2) orders,
+                    # which the (1 + T3) pass would double-count
+                    pref = pref * 0.5
                 block = jnp.einsum("ait,abtu,bju->abij",
                                    bra["E3"], M, E3k)
                 block = block * pref[:, :, None, None]
@@ -355,7 +404,11 @@ class IntegralEngine:
                 if out is None:
                     out = jnp.zeros(nao ** 4, dtype=block.dtype)
                 out = out.at[idx.reshape(-1)].add(block.reshape(-1))
-        return self._to_sph4(out.reshape(nao, nao, nao, nao))
+        G = out.reshape(nao, nao, nao, nao)
+        G = G + jnp.transpose(G, (2, 3, 0, 1))   # 1 + T3 (bra <-> ket)
+        G = G + jnp.transpose(G, (0, 1, 3, 2))   # 1 + T2 (c <-> d)
+        G = G + jnp.transpose(G, (1, 0, 2, 3))   # 1 + T1 (a <-> b)
+        return self._to_sph4(G)
 
     def energy_nuc(self, coords):
         Z = jnp.asarray(self.charges)
