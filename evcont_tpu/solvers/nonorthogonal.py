@@ -214,3 +214,103 @@ def trans_rdm12_nonorthogonal(stateA, stateB, with_rdm2=True):
 
     rdm2 = rdm2 + same_spin(alpha, omega_a) + same_spin(beta, omega_b)
     return ovlp, rdm1, rdm2
+
+
+# ---------------------------------------------------------------------------
+# JAX device kernel
+# ---------------------------------------------------------------------------
+def make_wick_kernel(occ_a_A, occ_b_A, occ_a_B, occ_b_B, with_rdm2=True):
+    """Build a jitted device version of trans_rdm12_nonorthogonal for fixed
+    occupation tables (static shapes). Returns
+        kernel(ciA, orbsA, ciB, orbsB) -> (ovlp, rdm1[, rdm2]).
+
+    Everything inside is batched SVDs plus dense GEMMs over the
+    (string-pair x channel) axis — the MXU-friendly formulation; on TPU the
+    determinant-pair enumeration that the reference MPI-splits across ranks
+    (CASCI_EVCont.py:260-319) becomes a handful of device contractions.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    occ_a_A = np.asarray(occ_a_A)
+    occ_b_A = np.asarray(occ_b_A)
+    occ_a_B = np.asarray(occ_a_B)
+    occ_b_B = np.asarray(occ_b_B)
+
+    def pair_channels(orbsA, orbsB, occA, occB):
+        DA = jnp.moveaxis(orbsA[:, occA], 0, -2)     # (NA, norb, n)
+        DB = jnp.moveaxis(orbsB[:, occB], 0, -2)
+        NA, NB = DA.shape[0], DB.shape[0]
+        n = occA.shape[1]
+        M = jnp.einsum("iak,jal->ijkl", DA, DB).reshape(NA * NB, n, n)
+        U, s, Vt = jnp.linalg.svd(M, full_matrices=False)
+        phi = jnp.linalg.det(U) * jnp.linalg.det(Vt)
+        P = s.shape[0]
+        eye = np.eye(n, dtype=bool)
+        s_mat = jnp.broadcast_to(s[:, None, :], (P, n, n))
+        s_mat = jnp.where(eye[None], 1.0, s_mat)
+        w1 = phi[:, None] * jnp.prod(s_mat, axis=-1)
+        det = phi * jnp.prod(s, axis=-1)
+        s4 = jnp.broadcast_to(s[:, None, None, :], (P, n, n, n))
+        mask_i = np.zeros((n, n, n), dtype=bool)
+        ii = np.arange(n)
+        mask_i[ii, :, ii] = True
+        mask_i[:, ii, ii] = True
+        s4 = jnp.where(mask_i[None], 1.0, s4)
+        w2 = phi[:, None, None] * jnp.prod(s4, axis=-1)
+        w2 = w2 * (1.0 - np.eye(n))[None]
+        Ia = np.repeat(np.arange(NA), NB)
+        Jb = np.tile(np.arange(NB), NA)
+        A = jnp.einsum("pak,pki->pia", DA[Ia], U)
+        B = jnp.einsum("pak,pik->pia", DB[Jb], Vt)
+        return dict(det=det.reshape(NA, NB), w1=w1, w2=w2, A=A, B=B,
+                    n=n, Ia=Ia, Jb=Jb)
+
+    def kernel(ciA, orbsA, ciB, orbsB):
+        norb = orbsA.shape[0]
+        al = pair_channels(orbsA, orbsB, occ_a_A, occ_a_B)
+        be = pair_channels(orbsA, orbsB, occ_b_A, occ_b_B)
+        omega_a = ciA @ be["det"] @ ciB.T
+        omega_b = ciA.T @ al["det"] @ ciB
+        ovlp = jnp.sum(al["det"] * omega_a)
+
+        def gamma_spin(ch, omega):
+            w = omega[ch["Ia"], ch["Jb"]][:, None] * ch["w1"]
+            return jnp.einsum("pi,pix,piy->xy", w, ch["A"], ch["B"])
+
+        rdm1 = gamma_spin(al, omega_a) + gamma_spin(be, omega_b)
+        if not with_rdm2:
+            return ovlp, rdm1
+
+        na, nb = al["n"], be["n"]
+        La = al["w1"].shape[0] * na
+        Lb = be["w1"].shape[0] * nb
+        Ia = np.repeat(al["Ia"], na)
+        Ja = np.repeat(al["Jb"], na)
+        Ib = np.repeat(be["Ia"], nb)
+        Jb_ = np.repeat(be["Jb"], nb)
+        Omega = (al["w1"].reshape(La)[:, None]
+                 * be["w1"].reshape(Lb)[None, :]
+                 * ciA[Ia[:, None], Ib[None, :]]
+                 * ciB[Ja[:, None], Jb_[None, :]])
+        Da = jnp.einsum("lx,ly->lxy", al["A"].reshape(La, norb),
+                        al["B"].reshape(La, norb)).reshape(La, -1)
+        Db = jnp.einsum("lx,ly->lxy", be["A"].reshape(Lb, norb),
+                        be["B"].reshape(Lb, norb)).reshape(Lb, -1)
+        G_ab = (Da.T @ Omega @ Db).reshape(norb, norb, norb, norb)
+        rdm2 = G_ab + jnp.transpose(G_ab, (2, 3, 0, 1))
+
+        def same_spin(ch, omega):
+            P, n = ch["w1"].shape
+            Wm = omega[ch["Ia"], ch["Jb"]][:, None, None] * ch["w2"]
+            D = jnp.einsum("pix,piy->pixy", ch["A"], ch["B"]) \
+                .reshape(P, n, norb * norb)
+            T = jnp.einsum("pij,pjc->pic", Wm, D)
+            G = jnp.einsum("pic,pid->cd", D, T)
+            G4 = G.reshape(norb, norb, norb, norb)
+            return G4 - jnp.transpose(G4, (0, 3, 2, 1))
+
+        rdm2 = rdm2 + same_spin(al, omega_a) + same_spin(be, omega_b)
+        return ovlp, rdm1, rdm2
+
+    return jax.jit(kernel)

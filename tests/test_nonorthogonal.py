@@ -84,3 +84,28 @@ def test_cross_geometry_cas_vs_fullspace():
     np.testing.assert_allclose(b1.overlap, b2.overlap, atol=1e-12)
     np.testing.assert_allclose(b1.one_rdm, b2.one_rdm, atol=1e-12)
     np.testing.assert_allclose(b1.two_rdm, b2.two_rdm, atol=1e-12)
+
+
+def test_jax_kernel_matches_host():
+    """The jitted device kernel must agree with the numpy host version."""
+    from evcont_tpu.solvers.casci import casci
+    from evcont_tpu.solvers.nonorthogonal import make_wick_kernel
+    from evcont_tpu.integrals.engine import IntegralEngine
+
+    def cas_state(mol):
+        eng = IntegralEngine(mol)
+        b = eng.compute_jit(np.asarray(mol.coords))
+        S = np.array(b.ovlp)
+        res = casci(S, np.array(b.hcore), np.array(b.eri), float(b.enuc),
+                    (2, 2), 2, 2)
+        w, V = np.linalg.eigh(S)
+        d = (V * np.sqrt(w)) @ V.T @ res.mo_coeff
+        return cas_no_state(res.ci, d, res.ncore, 2, (1, 1))
+
+    stA, stB = cas_state(h4(1.5)), cas_state(h4(2.1))
+    ov0, r10, r20 = trans_rdm12_nonorthogonal(stA, stB)
+    kern = make_wick_kernel(stA.occ_a, stA.occ_b, stB.occ_a, stB.occ_b)
+    ov1, r11, r21 = kern(stA.ci, stA.orbs, stB.ci, stB.orbs)
+    assert abs(float(ov1) - ov0) < 1e-12
+    np.testing.assert_allclose(np.array(r11), r10, atol=1e-12)
+    np.testing.assert_allclose(np.array(r21), r20, atol=1e-12)
