@@ -19,6 +19,14 @@ cannot run here — no pyscf — so the CPU baseline is this framework's own
 CPU execution, which plays the role of the reference's NumPy/libcint
 implementation).
 
+Numerics: the package forces highest matmul precision on TPU (see
+evcont_tpu/__init__.py) — with XLA's default bf16 MXU passes the
+near-singular training overlap amplifies rounding into multi-Hartree
+errors; at highest precision TPU f32 matches CPU f64 to ~4e-5 Ha on
+FCI-trained continuation models. The throughput below is measured at
+correct numerics on ONE v5e chip; the north-star 50x target envisions a
+v5e-8 slice, where the geometry batch scales data-parallel.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 

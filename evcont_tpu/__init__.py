@@ -6,6 +6,18 @@ against the upstream reference.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# On TPU, XLA's default matmul precision feeds float32 operands through the
+# MXU as bfloat16 (~8 mantissa bits). Quantum-chemistry contractions feeding
+# a generalized eigensolve with near-singular training overlaps amplify that
+# to multi-Hartree errors (measured: 5 Ha on the H6 continuation). Scientific
+# correctness wins by default; set EVCONT_TPU_FAST_MATMUL=1 before import to
+# opt back into fast bf16 matmuls for throughput experiments.
+if not _os.environ.get("EVCONT_TPU_FAST_MATMUL"):
+    import jax as _jax
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 from .molecule import Molecule
 from .config import RunConfig
 
