@@ -202,6 +202,17 @@ def to_pair_layout(one_rdm, two_rdm, compress_two=True):
     return one_p, two_p
 
 
+def predicted_rdm1(vec, one_rdm):
+    """Predicted one-body RDM only (cheap path for per-step observables)."""
+    if one_rdm.ndim == 3:
+        ntrain = vec.shape[0]
+        mat = 2.0 * jnp.outer(vec, vec)
+        mat = mat - 0.5 * jnp.diag(jnp.diag(mat))
+        rows, cols = pair_compression_maps(ntrain)
+        return jnp.tensordot(mat[rows, cols], one_rdm, axes=1)
+    return jnp.einsum("a,b,abij->ij", vec, vec, one_rdm)
+
+
 def predicted_rdms(vec, one_rdm, two_rdm, norb):
     """Predicted one- and two-body RDMs from the subspace eigenvector.
 

@@ -25,12 +25,17 @@ def write_energy_line(fh, time_au, epot, ekin):
 
 def get_trajectory(model, init_coords=None, dt=10.0, steps=10,
                    init_veloc=None, ensemble="nve", T=298.15, taut=250.0,
-                   trajectory_output=None, energy_output=None):
+                   trajectory_output=None, energy_output=None,
+                   aux_fn=None, aux_out=None):
     """Run an MD trajectory from a ContinuationModel.
 
     Mirrors the reference's get_trajectory signature (MD_utils.py:60-71) but
     executes the whole trajectory as one on-device scan. Returns the
     trajectory coordinates (steps, natm, 3) in Bohr.
+
+    aux_fn(coords) computes per-step observables inside the scan (the
+    on-device form of the reference's MD callbacks); results are returned
+    through the aux_out dict under "aux".
     """
     mol = model.mol
     coords0 = np.asarray(mol.coords if init_coords is None else init_coords)
@@ -38,10 +43,11 @@ def get_trajectory(model, init_coords=None, dt=10.0, steps=10,
     energy_fn = model.energy_fn()
 
     if ensemble == "nve":
-        run = jax.jit(lambda c, v: run_nve(energy_fn, masses, c, v, dt, steps))
+        run = jax.jit(lambda c, v: run_nve(energy_fn, masses, c, v, dt,
+                                           steps, aux_fn=aux_fn))
     elif ensemble == "nvt_berendsen":
         run = jax.jit(lambda c, v: run_nvt_berendsen(
-            energy_fn, masses, c, v, dt, steps, T, taut))
+            energy_fn, masses, c, v, dt, steps, T, taut, aux_fn=aux_fn))
     else:
         raise ValueError(f"unknown ensemble {ensemble!r}")
 
@@ -50,6 +56,8 @@ def get_trajectory(model, init_coords=None, dt=10.0, steps=10,
     coords = np.array(out["coords"])
     epot = np.array(out["epot"])
     ekin = np.array(out["ekin"])
+    if aux_fn is not None and aux_out is not None:
+        aux_out["aux"] = jax.tree_util.tree_map(np.array, out["aux"])
 
     # failure detection (the reference's crash-and-restart model relies on
     # hard asserts in the solvers, SURVEY.md §5; here non-finite dynamics

@@ -42,8 +42,11 @@ def maxwell_boltzmann(key, masses, T):
     return sigma[:, None] * jax.random.normal(key, (masses.shape[0], 3))
 
 
-def _vv_step(energy_fn, masses, dt):
-    """One velocity-Verlet step. Returns ((coords, veloc, forces), aux)."""
+def _vv_step(energy_fn, masses, dt, aux_fn=None):
+    """One velocity-Verlet step. Returns ((coords, veloc, forces), aux).
+    aux_fn(coords) may compute per-step observables (dipole, charges, ...)
+    inside the scan — the on-device replacement for the reference's MD
+    callback side channel (MD_utils.py:31-52)."""
     inv_m = 1.0 / masses[:, None]
 
     def step(carry, _):
@@ -53,26 +56,33 @@ def _vv_step(energy_fn, masses, dt):
         e_new, g_new = jax.value_and_grad(energy_fn)(coords_new)
         forces_new = -g_new
         veloc_new = veloc_half + 0.5 * dt * forces_new * inv_m
-        return (coords_new, veloc_new, forces_new), (coords_new, veloc_new,
-                                                     e_new)
+        out = (coords_new, veloc_new, e_new)
+        if aux_fn is not None:
+            out = out + (aux_fn(coords_new),)
+        return (coords_new, veloc_new, forces_new), out
     return step
 
 
-def run_nve(energy_fn, masses, coords0, veloc0, dt, steps):
+def run_nve(energy_fn, masses, coords0, veloc0, dt, steps, aux_fn=None):
     """NVE velocity-Verlet trajectory, fully on device.
 
     Returns dict with per-step arrays: coords (steps, natm, 3), veloc,
-    epot (steps,), ekin (steps,). Step i holds the state *after* i+1
-    updates, matching the frames list of pyscf's NVE integrator."""
+    epot (steps,), ekin (steps,), plus "aux" when aux_fn is given. Step i
+    holds the state *after* i+1 updates, matching the frames list of
+    pyscf's NVE integrator."""
     masses = jnp.asarray(masses)
     coords0 = jnp.asarray(coords0)
     veloc0 = jnp.zeros_like(coords0) if veloc0 is None else jnp.asarray(veloc0)
     _, g0 = jax.value_and_grad(energy_fn)(coords0)
-    step = _vv_step(energy_fn, masses, dt)
-    (_, _, _), (coords, veloc, epot) = jax.lax.scan(
+    step = _vv_step(energy_fn, masses, dt, aux_fn)
+    (_, _, _), outs = jax.lax.scan(
         step, (coords0, veloc0, -g0), None, length=steps)
+    coords, veloc, epot = outs[:3]
     ekin = jax.vmap(lambda v: kinetic_energy(v, masses))(veloc)
-    return {"coords": coords, "veloc": veloc, "epot": epot, "ekin": ekin}
+    res = {"coords": coords, "veloc": veloc, "epot": epot, "ekin": ekin}
+    if aux_fn is not None:
+        res["aux"] = outs[3]
+    return res
 
 
 def run_nve_ensemble(energy_fn, masses, coords0_batch, veloc0_batch, dt,
@@ -97,7 +107,7 @@ def run_nvt_ensemble(energy_fn, masses, coords0_batch, veloc0_batch, dt,
 
 
 def run_nvt_berendsen(energy_fn, masses, coords0, veloc0, dt, steps,
-                      T, taut):
+                      T, taut, aux_fn=None):
     """NVT trajectory with a Berendsen thermostat: after each velocity-Verlet
     update, velocities are rescaled by sqrt(1 + dt/taut (T0/T_now - 1))
     (pyscf md.integrators.NVTBerendson semantics; taut in a.u. of time)."""
@@ -118,10 +128,16 @@ def run_nvt_berendsen(energy_fn, masses, coords0, veloc0, dt, steps,
         lam = jnp.sqrt(1.0 + (dt / taut) * (T / jnp.maximum(T_now, 1e-12)
                                             - 1.0))
         veloc_new = veloc_new * lam
-        return (coords_new, veloc_new, forces_new), (coords_new, veloc_new,
-                                                     e_new)
+        out = (coords_new, veloc_new, e_new)
+        if aux_fn is not None:
+            out = out + (aux_fn(coords_new),)
+        return (coords_new, veloc_new, forces_new), out
 
-    (_, _, _), (coords, veloc, epot) = jax.lax.scan(
+    (_, _, _), outs = jax.lax.scan(
         step, (coords0, veloc0, -g0), None, length=steps)
+    coords, veloc, epot = outs[:3]
     ekin = jax.vmap(lambda v: kinetic_energy(v, masses))(veloc)
-    return {"coords": coords, "veloc": veloc, "epot": epot, "ekin": ekin}
+    res = {"coords": coords, "veloc": veloc, "epot": epot, "ekin": ekin}
+    if aux_fn is not None:
+        res["aux"] = outs[3]
+    return res

@@ -158,29 +158,32 @@ def stage4_continuation_md(mol, n_train, seed, steps=10000, dt=25.0,
                               backend.two_rdm)
     masses = mol.masses_au()
     v0 = np.array(maxwell_boltzmann(jax.random.PRNGKey(seed), masses, T))
+    engine = model.engine
+
+    # observables evaluated INSIDE the MD scan (no per-frame host loop):
+    # predicted 1-RDM -> dipole + Mulliken charges
+    from ..continuation import oao_integrals, approximate_ground_state, \
+        predicted_rdm1
+
+    def aux_fn(c):
+        h1, h2, _ = oao_integrals(engine, c)
+        _, vec = approximate_ground_state(h1, h2, model.one_rdm,
+                                          model.two_rdm, model.overlap)
+        rdm1 = predicted_rdm1(vec, model.one_rdm)
+        return (dipole_moment(engine, masses, c, rdm1),
+                mulliken_charges(engine, c, rdm1))
+
+    aux_out = {}
     with open(os.path.join(workdir, f"traj_seed{seed}.xyz"), "w") as tf, \
             open(os.path.join(workdir, f"ens_seed{seed}.xyz"), "w") as ef:
         coords, epot, ekin = get_trajectory(
             model, init_coords=mol.coords, dt=dt, steps=steps,
             init_veloc=v0, ensemble="nvt_berendsen", T=T, taut=taut,
-            trajectory_output=tf, energy_output=ef)
-
-    frames = coords[::observable_stride]
-    engine = model.engine
-
-    @jax.jit
-    def obs(c):
-        _, _, rdm1, _ = model._state(c, model.overlap, model.one_rdm,
-                                     model.two_rdm)
-        return (dipole_moment(engine, masses, c, rdm1),
-                mulliken_charges(engine, c, rdm1))
-
-    dips, charges = [], []
-    for f in frames:
-        d, q = obs(f)
-        dips.append(np.array(d))
-        charges.append(np.array(q))
-    dips, charges = np.stack(dips), np.stack(charges)
+            trajectory_output=tf, energy_output=ef,
+            aux_fn=aux_fn, aux_out=aux_out)
+    dips, charges = aux_out["aux"]
+    dips = dips[::observable_stride]
+    charges = charges[::observable_stride]
     np.save(os.path.join(workdir, f"dipole_moments_seed{seed}.npy"), dips)
     np.save(os.path.join(workdir, f"charges_seed{seed}.npy"), charges)
     np.save(os.path.join(workdir, f"trajectory_seed{seed}.npy"), coords)
