@@ -72,15 +72,49 @@ _SPH_POLY = {
 }
 
 
+def _harmonic_kernel_poly(l):
+    """Numerically construct a basis of the (2l+1)-dimensional harmonic
+    subspace of degree-l cartesian monomials as the null space of the
+    Laplacian. Valid for any l (conventional tables only reach l = 2 here);
+    the specific within-l basis choice is a unitary convention — physics is
+    invariant, and the subspace is exactly rotation-closed."""
+    from .mcmurchie import cart_components
+
+    comps = cart_components(l)
+    comps_m2 = cart_components(l - 2) if l >= 2 else []
+    idx_m2 = {c: i for i, c in enumerate(comps_m2)}
+    L = np.zeros((len(comps_m2), len(comps)))
+    for j, (a, b, c) in enumerate(comps):
+        for d, e in enumerate((a, b, c)):
+            if e >= 2:
+                tgt = [a, b, c]
+                tgt[d] -= 2
+                L[idx_m2[tuple(tgt)], j] += e * (e - 1)
+    # null space
+    _, s, Vt = np.linalg.svd(L)
+    rank = int(np.sum(s > 1e-10)) if len(s) else 0
+    K = Vt[rank:].T if L.shape[0] else np.eye(len(comps))
+    assert K.shape[1] == 2 * l + 1, (l, K.shape)
+    return K.T    # (2l+1, ncart) raw rows
+
+
 def cart2sph_matrix(l):
     """(nsph, ncart) transform from the engine's normalized cartesian
-    components to unit-normalized real spherical components."""
+    components to unit-normalized real spherical components. Tabulated
+    conventional harmonics for l <= 2; numerical harmonic-kernel basis
+    (Löwdin-orthonormalized in the cartesian overlap metric) for l >= 3."""
     if l <= 1:
         return np.eye((l + 1) * (l + 2) // 2)
-    P = _SPH_POLY[l]
     M = cart_overlap_metric(l)
-    norms = np.sqrt(np.einsum("mc,cd,md->m", P, M, P))
-    return P / norms[:, None]
+    if l in _SPH_POLY:
+        P = _SPH_POLY[l]
+        norms = np.sqrt(np.einsum("mc,cd,md->m", P, M, P))
+        return P / norms[:, None]
+    P = _harmonic_kernel_poly(l)
+    G = P @ M @ P.T
+    w, V = np.linalg.eigh(G)
+    G_inv_sqrt = (V / np.sqrt(w)) @ V.T
+    return G_inv_sqrt @ P
 
 
 def _primitive_norm(a, l):

@@ -134,3 +134,38 @@ def test_h2o_ccpvdz_rhf_literature():
     res = rhf_from_engine(eng)
     assert res.converged
     assert abs(res.e_tot - (-76.026799)) < 2e-5
+
+
+def test_f_shell_machinery():
+    """l >= 3 spherical harmonics from the numerical harmonic-kernel basis:
+    unit norms and exact rotation closure (a non-harmonic admixture would
+    break the rotational invariance of generalized spectra)."""
+    from evcont_tpu.integrals.shells import (cart2sph_matrix,
+                                             cart_overlap_metric)
+    from evcont_tpu import basis_data
+    import scipy.linalg as sla
+
+    for l in (3, 4):
+        T = cart2sph_matrix(l)
+        M = cart_overlap_metric(l)
+        np.testing.assert_allclose(T @ M @ T.T, np.eye(2 * l + 1),
+                                   atol=1e-12)
+
+    basis_data.BASIS_SETS["test-f"] = {
+        "H": [(0, [1.2], [1.0]), (3, [0.8], [1.0])],
+    }
+    mol = Molecule.build([("H", (0, 0, 0)), ("H", (0.3, 0.2, 1.6))],
+                         basis="test-f")
+    eng = IntegralEngine(mol)
+    assert eng.nao == 16
+    c = np.asarray(mol.coords)
+    b = eng.compute_jit(c)
+    S, h = np.array(b.ovlp), np.array(b.hcore)
+    np.testing.assert_allclose(np.diag(S), 1.0, atol=1e-12)
+    th = 0.7
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+    b2 = eng.compute_jit(c @ R.T)
+    e1 = sla.eigh(h, S, eigvals_only=True)
+    e2 = sla.eigh(np.array(b2.hcore), np.array(b2.ovlp), eigvals_only=True)
+    np.testing.assert_allclose(e1, e2, atol=1e-10)
