@@ -66,11 +66,9 @@ class _PairClass:
     atom_b: np.ndarray
     a: np.ndarray
     b: np.ndarray
-    cc: np.ndarray           # coefficient product
+    cc: np.ndarray           # coefficient product (ERI upair classes fold
+                             # 0.5 stabilizer weights into this)
     scatter: np.ndarray      # (n, ca, cb) int32 into flat (nao*nao)
-    # ERI upair extras (None for the ordered one-electron classes):
-    scatter_swapped: np.ndarray = None   # (n, ca, cb), (b,a)-ordered image
-    weight: np.ndarray = None            # 0.5 on i==j diagonal entries
 
 
 def _conv_table(nb, nk, L):
