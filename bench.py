@@ -42,15 +42,8 @@ CPU_BASELINE_EVALS_PER_SEC = 1.168
 
 
 def zundel_molecule():
-    from evcont_tpu.molecule import Molecule
-    d, oh, s = 1.2, 0.97, 0.8
-    atoms = [("O", (-d, 0.0, 0.0)), ("H", (0.0, 0.0, 0.0)),
-             ("H", (-d - oh * 0.5, oh * s, 0.3)),
-             ("H", (-d - oh * 0.5, -oh * s, 0.3)),
-             ("O", (d, 0.0, 0.0)),
-             ("H", (d + oh * 0.5, oh * s, 0.3)),
-             ("H", (d + oh * 0.5, -oh * s, 0.3))]
-    return Molecule.build(atoms, basis="6-31g", charge=1, unit="Angstrom")
+    from evcont_tpu.workloads.common import zundel
+    return zundel(basis="6-31g")
 
 
 def main():

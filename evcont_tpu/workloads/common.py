@@ -22,18 +22,15 @@ def water(basis="sto-3g", r=0.9572, theta_deg=104.52):
     return Molecule.build(atoms, basis=basis, unit="Angstrom")
 
 
-def zundel(basis="6-31g", o_o=2.4):
-    """H5O2+ (Zundel cation), approximate C2 geometry with a bridging
-    proton (reference workload: scripts/MD/H2O-H3O+/,
-    scripts/MD/Zundel_thermodynamics/construct_geometry.py)."""
-    d = o_o / 2.0
-    oh, s = 0.97, 0.8
-    atoms = [("O", (-d, 0.0, 0.0)), ("H", (0.0, 0.0, 0.0)),
-             ("H", (-d - oh * 0.5, oh * s, 0.3)),
-             ("H", (-d - oh * 0.5, -oh * s, 0.3)),
-             ("O", (d, 0.0, 0.0)),
-             ("H", (d + oh * 0.5, oh * s, 0.3)),
-             ("H", (d + oh * 0.5, -oh * s, 0.3))]
+def zundel(basis="6-31g"):
+    """H5O2+ (Zundel cation) at the literature ground-state geometry,
+    built from the same internal coordinates as the reference
+    (scripts/MD/Zundel_thermodynamics/construct_geometry.py); atom order
+    (O, H, H, H+, O, H, H) with the bridging proton at index 3."""
+    from ..utils.zmatrix import zundel_geometry
+    g = zundel_geometry()
+    symbols = ["O", "H", "H", "H", "O", "H", "H"]
+    atoms = [(s, tuple(x)) for s, x in zip(symbols, g)]
     return Molecule.build(atoms, basis=basis, charge=1, unit="Angstrom")
 
 

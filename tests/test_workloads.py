@@ -71,3 +71,22 @@ def test_h30_workload_restart_path(tmp_path):
         n_atoms=4, basis="sto-3g", d0=1.8, steps=5, dt=5.0,
         workdir=str(tmp_path), train_fci=False)
     np.testing.assert_allclose(coords2, coords, atol=1e-10)
+
+
+def test_zundel_zmatrix_geometry():
+    """The Zundel geometry must reproduce the literature internal
+    coordinates the reference builds from (construct_geometry.py)."""
+    from evcont_tpu.workloads.common import zundel
+    mol = zundel()
+    assert mol.symbols == ("O", "H", "H", "H", "O", "H", "H")
+    assert mol.charge == 1
+    g = np.asarray(mol.coords) * 0.52917721092   # Bohr -> Angstrom
+    O1, H1, H2, Hp, O2, H3, H4 = g
+    assert abs(np.linalg.norm(O1 - Hp) - 1.1950) < 1e-10
+    assert abs(np.linalg.norm(O2 - Hp) - 1.1950) < 1e-10
+    assert abs(np.linalg.norm(O1 - H1) - 0.9686) < 1e-10
+    assert abs(np.linalg.norm(O2 - H4) - 0.9682) < 1e-10
+    v1, v2 = O1 - Hp, O2 - Hp
+    ang = np.degrees(np.arccos(
+        v1 @ v2 / np.linalg.norm(v1) / np.linalg.norm(v2)))
+    assert abs(ang - 173.730) < 1e-6
