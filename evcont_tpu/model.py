@@ -104,6 +104,18 @@ class ContinuationModel:
                                           nroots=nroots)
         return en + enuc, vecs
 
+    @partial(jax.jit, static_argnums=(0, 2))
+    def _multistate_and_grad(self, coords, nroots, overlap, one_rdm,
+                             two_rdm):
+        def energies(c):
+            h1, h2, enuc = oao_integrals(self.engine, c)
+            en, _ = approximate_multistate(h1, h2, one_rdm, two_rdm,
+                                           overlap, nroots=nroots)
+            return en + enuc
+        en = energies(coords)
+        grads = jax.jacrev(energies)(coords)   # (nroots, natm, 3)
+        return en, grads
+
     @partial(jax.jit, static_argnums=0)
     def _state(self, coords, overlap, one_rdm, two_rdm):
         """Energy, subspace eigenvector, and predicted RDMs (for
@@ -142,6 +154,14 @@ class ContinuationModel:
         """Lowest nroots total energies and subspace eigenvectors."""
         return self._multistate(jnp.asarray(coords), nroots, self.overlap,
                                 self.one_rdm, self.two_rdm)
+
+    def multistate_and_forces(self, coords, nroots=1):
+        """Per-root (E_k, F_k) with F_k = -dE_k/dR — excited-state forces
+        via the per-root Hellmann-Feynman derivative."""
+        en, g = self._multistate_and_grad(jnp.asarray(coords), nroots,
+                                          self.overlap, self.one_rdm,
+                                          self.two_rdm)
+        return en, -g
 
     def state(self, coords):
         """(E, subspace vector, predicted 1-RDM, predicted 2-RDM in OAO)."""

@@ -106,3 +106,27 @@ def test_multistate(trained):
     e = np.array(e)
     assert e[0] < e[1]
     assert vecs.shape == (2, 3)
+
+
+def test_multistate_forces_vs_finite_difference(trained):
+    """Excited-state forces: per-root Hellmann-Feynman derivatives of the
+    continuation energies against finite differences."""
+    backend = FCIBackend(nroots=2, roots_train=[0, 1])
+    for d in [1.2, 1.8, 2.6]:
+        backend.append_to_rdms(chain(d))
+    model = ContinuationModel.from_backend(chain(1.8), backend)
+    rng = np.random.default_rng(1)
+    c0 = np.asarray(chain(2.0).coords) + 0.03 * rng.standard_normal((N_AT, 3))
+    en, F = model.multistate_and_forces(c0, nroots=2)
+    en, F = np.array(en), np.array(F)
+    assert en[0] < en[1]
+    eps = 1e-5
+    for k in range(2):
+        for (i, d) in [(0, 0), (2, 1)]:
+            cp, cm = c0.copy(), c0.copy()
+            cp[i, d] += eps
+            cm[i, d] -= eps
+            ep = np.array(model.multistate(cp, nroots=2)[0])[k]
+            em = np.array(model.multistate(cm, nroots=2)[0])[k]
+            fd = -(ep - em) / (2 * eps)
+            assert abs(F[k, i, d] - fd) < 1e-6
