@@ -50,11 +50,17 @@ def converge_EVCont_MD(backend, init_mol, steps=100, dt=1.0,
                        prune_irrelevant_data=False,
                        data_addition="farthest_point_ham",
                        max_iterations=100, workdir=".",
-                       md_kwargs=None):
+                       md_kwargs=None, trn_times=None):
     """Iteratively: run MD with the current continuation, pick the frame
     farthest from the training set, solve it exactly, repeat until the
     trajectory's energy change from the last added point stays below
     convergence_thresh for two consecutive iterations.
+
+    Passing a non-empty `trn_times` resumes a previous run (reference:
+    MD_utils.py:217-258): the backend must already hold the matching
+    training data (e.g. via TRDMIngestBackend.load_state_files or by
+    re-appending), previously computed traj_EVCont_i.npy files are reused,
+    and iteration continues from i = len(trn_times) - 1.
 
     Returns the final trajectory (steps, natm, 3) in Bohr.
     """
@@ -62,13 +68,20 @@ def converge_EVCont_MD(backend, init_mol, steps=100, dt=1.0,
     os.makedirs(workdir, exist_ok=True)
 
     def run_traj(i):
+        traj_npy = os.path.join(workdir, f"traj_EVCont_{i}.npy")
+        ens_file = os.path.join(workdir, f"ens_EVCont_{i}.xyz")
+        if os.path.exists(traj_npy) and os.path.exists(ens_file):
+            # resume: reuse the stored trajectory + its energies
+            coords = np.load(traj_npy)
+            epot = np.genfromtxt(ens_file)[:, 1]
+            return coords, epot
         model = ContinuationModel.from_backend(init_mol, backend)
         with open(os.path.join(workdir, f"traj_EVCont_{i}.xyz"), "w") as tf, \
-                open(os.path.join(workdir, f"ens_EVCont_{i}.xyz"), "w") as ef:
+                open(ens_file, "w") as ef:
             coords, epot, ekin = get_trajectory(
                 model, init_coords=init_mol.coords, dt=dt, steps=steps,
                 trajectory_output=tf, energy_output=ef, **md_kwargs)
-        np.save(os.path.join(workdir, f"traj_EVCont_{i}.npy"), coords)
+        np.save(traj_npy, coords)
         return coords, epot
 
     def save(i):
@@ -76,15 +89,47 @@ def converge_EVCont_MD(backend, init_mol, steps=100, dt=1.0,
         save_state(workdir, backend.overlap, backend.one_rdm,
                    backend.two_rdm, trn_times, suffix=suffix)
 
-    # ---- bootstrap: train on the initial geometry, run first trajectory ---
-    i = 0
-    trn_times = [0]
-    trn_geometries = [np.asarray(init_mol.coords)]
-    backend.append_to_rdms(init_mol)
-    save(i)
-    trajectory, updated_ens = run_traj(i)
-    reference_ens = np.full_like(updated_ens, updated_ens[0])
-    converged = False
+    def reconstruct_geometries(trn_times):
+        """Training geometries from stored trajectories (reference:
+        MD_utils.py:343-349)."""
+        geoms = [np.asarray(init_mol.coords)]
+        for k in range(1, len(trn_times)):
+            prev = np.load(os.path.join(workdir,
+                                        f"traj_EVCont_{k - 1}.npy"))
+            geoms.append(prev[trn_times[k]])
+        return geoms
+
+    if trn_times:
+        # ---- resume path ---------------------------------------------
+        trn_times = [int(t) for t in trn_times]
+        assert backend.ntrain == len(trn_times), (
+            "backend training data does not match trn_times; load the "
+            "checkpoint artifacts first")
+        i = len(trn_times) - 1
+        trn_geometries = reconstruct_geometries(trn_times)
+        save(i)
+        trajectory, updated_ens = run_traj(i)
+        if i > 0:
+            reference_ens = _predict_batch(
+                init_mol, backend.overlap[:-1, :-1],
+                backend.one_rdm[:-1, :-1], backend.two_rdm[:-1, :-1],
+                trajectory)
+        else:
+            reference_ens = np.full_like(updated_ens, updated_ens[0])
+        converged = False
+        prev_diff = os.path.join(workdir, f"en_diff_{i - 1}.txt")
+        if i >= 1 and os.path.exists(prev_diff):
+            converged = np.loadtxt(prev_diff).max() <= convergence_thresh
+    else:
+        # ---- bootstrap: train on the initial geometry ------------------
+        i = 0
+        trn_times = [0]
+        trn_geometries = [np.asarray(init_mol.coords)]
+        backend.append_to_rdms(init_mol)
+        save(i)
+        trajectory, updated_ens = run_traj(i)
+        reference_ens = np.full_like(updated_ens, updated_ens[0])
+        converged = False
 
     engine = ContinuationModel.from_backend(init_mol, backend).engine
 

@@ -119,3 +119,36 @@ def test_selection_criteria_smoke(h2_model):
     i_ham = selection.select_farthest_point_ham(h2_model.engine, trn, traj,
                                                 chunk_size=4)
     assert i_ham == 6
+
+
+def test_active_learning_resume(tmp_path):
+    """Resume parity: converge_EVCont_MD continued from checkpoint
+    artifacts must reuse stored trajectories and finish with the same
+    training set as an uninterrupted run."""
+    from evcont_tpu.learn.active import converge_EVCont_MD
+    from evcont_tpu.learn.checkpoints import load_state
+    from evcont_tpu.backends.trdm_ingest import TRDMIngestBackend
+
+    def h3p(d):
+        xs = (np.arange(3) - 1.0) * d
+        return Molecule.build([("H", (x, 0, 0)) for x in xs],
+                              basis="sto-3g", charge=1)
+
+    wd = str(tmp_path)
+    backend = FCIBackend()
+    traj1 = converge_EVCont_MD(
+        backend, h3p(1.8), steps=8, dt=5.0, convergence_thresh=2e-3,
+        data_addition="farthest_point", workdir=wd)
+    n_final = backend.ntrain
+
+    # resume from the artifacts with an ingest backend: should converge
+    # immediately (trajectories reused, no retraining possible/needed)
+    overlap, one_rdm, two_rdm, trn_times = load_state(wd)
+    resumed = TRDMIngestBackend()
+    resumed.overlap, resumed.one_rdm, resumed.two_rdm = \
+        overlap, one_rdm, two_rdm
+    traj2 = converge_EVCont_MD(
+        resumed, h3p(1.8), steps=8, dt=5.0, convergence_thresh=2e-3,
+        data_addition="farthest_point", workdir=wd, trn_times=trn_times)
+    assert resumed.ntrain == n_final
+    np.testing.assert_allclose(traj2, traj1, atol=1e-10)
