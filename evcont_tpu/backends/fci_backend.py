@@ -16,7 +16,7 @@ identical t-RDMs without the rotation step.
 import numpy as np
 
 from ..integrals.engine import IntegralEngine
-from ..oao import loewdin_trafo, transform_integrals, compress_exchange
+from ..oao import loewdin_trafo, transform_integrals
 from ..solvers.ci_transform import transform_ci
 from ..solvers.fci import FCISolver
 from ..solvers.localization import get_basis

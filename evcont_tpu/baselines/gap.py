@@ -16,8 +16,6 @@ prediction — replacing the reference's hand-derived kernel gradients
 (H10...:47-79).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -41,7 +41,6 @@ from .oao import (
     loewdin_trafo,
     pair_compression_maps,
     restore_exchange,
-    transform_integrals,
 )
 
 # numerical floor for whitening the training-state overlap matrix

@@ -15,8 +15,6 @@ Units: coordinates Bohr, time atomic units, masses in electron masses,
 temperatures Kelvin.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

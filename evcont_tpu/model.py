@@ -18,20 +18,17 @@ nuclear coordinates:
 Forces come from jax.grad through the whole pipeline; the custom JVPs on
 loewdin_trafo (Daleckii-Krein) and lowest_states (Hellmann-Feynman)
 reproduce the reference's hand-assembled analytic gradients exactly
-(validated against finite differences in tests/test_forces.py).
+(validated against finite differences in tests/test_model_h6.py).
 """
 
 from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .continuation import (
     approximate_ground_state,
     approximate_multistate,
-    assemble_hamiltonian,
-    lowest_states,
     oao_integrals,
     predicted_rdms,
 )

@@ -7,7 +7,7 @@ fixed; nuclear coordinates are a plain array that flows through jitted code,
 so a single compiled function serves every geometry of the same molecule.
 """
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 
 import numpy as np
 

@@ -26,8 +26,6 @@ shapes; symmetric H-chain geometries (degenerate overlap spectra) work
 without special-casing.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -6,9 +6,7 @@ active-learning MD or a plain trajectory — from a RunConfig JSON file.
 """
 
 import argparse
-import json
 import os
-import sys
 
 import numpy as np
 

@@ -15,8 +15,6 @@ remains the exactness reference. On CPU with x64 enabled this kernel is
 exact and doubles as an independent implementation check.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

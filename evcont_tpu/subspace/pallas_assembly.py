@@ -16,11 +16,8 @@ kernel is the scaling lever for stores that outgrow simple fusion, and is
 validated against the einsum path in interpret mode on CPU).
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 
 BLOCK_P = 8        # pair-block (f32 sublane)

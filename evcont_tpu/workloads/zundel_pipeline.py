@@ -29,7 +29,6 @@ import os
 import jax
 import numpy as np
 
-from ..backends.fci_backend import FCIBackend
 from ..backends.trdm_ingest import TRDMIngestBackend
 from ..integrals.engine import IntegralEngine
 from ..learn import selection
