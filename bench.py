@@ -35,7 +35,7 @@ import time
 
 import numpy as np
 
-BATCH = 32
+BATCH = 64
 NTRAIN = 16
 REPS = 3
 CPU_BASELINE_EVALS_PER_SEC = 1.168

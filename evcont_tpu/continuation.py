@@ -137,6 +137,37 @@ def _lowest_states_jvp(nroots, primals, tangents):
     return (E, V), (dE, jnp.zeros_like(V))
 
 
+def whitening_matrix(S, cutoff=GEP_CUTOFF):
+    """Precomputable whitening X of the training overlap (S is geometry-
+    independent, so models compute this once instead of re-diagonalizing S
+    inside every evaluation)."""
+    s, U = jnp.linalg.eigh(jnp.asarray(S))
+    thresh = cutoff * jnp.max(jnp.abs(s))
+    inv_sqrt = jnp.where(s > thresh, 1.0 / jnp.sqrt(jnp.maximum(s, thresh)),
+                         0.0)
+    return U * inv_sqrt
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(2,))
+def lowest_states_whitened(H, X, nroots=1):
+    """lowest_states with a precomputed whitening X = whitening_matrix(S).
+    Same Hellmann-Feynman energy derivatives (S constant: dE = c^T dH c)."""
+    A = X.T @ H @ X
+    A = 0.5 * (A + A.T)
+    w, Y = jnp.linalg.eigh(A)
+    C = X @ Y
+    return w[:nroots], C[:, :nroots].T
+
+
+@lowest_states_whitened.defjvp
+def _lowest_states_whitened_jvp(nroots, primals, tangents):
+    H, X = primals
+    dH, _ = tangents
+    E, V = lowest_states_whitened(H, X, nroots)
+    dE = jnp.einsum("ka,ab,kb->k", V, dH, V)
+    return (E, V), (dE, jnp.zeros_like(V))
+
+
 # ---------------------------------------------------------------------------
 # reference-parity front doors
 # ---------------------------------------------------------------------------
@@ -152,21 +183,27 @@ def _eig_host(H, S):
     return vals[valid].real[order], vecs[:, valid][:, order].real
 
 
-def approximate_ground_state(h1, h2, one_rdm, two_rdm, S, hermitian=True):
+def approximate_ground_state(h1, h2, one_rdm, two_rdm, S, hermitian=True,
+                             whitening=None):
     """Subspace ground-state energy and eigenvector (electronic part only).
 
     Reference: approximate_ground_state
-    (ab_initio_eigenvector_continuation.py:12-90)."""
+    (ab_initio_eigenvector_continuation.py:12-90). Pass a precomputed
+    whitening (whitening_matrix(S)) to skip the per-call diagonalization of
+    the geometry-independent training overlap."""
     H = assemble_hamiltonian(h1, h2, one_rdm, two_rdm)
     if not hermitian:
         vals, vecs = _eig_host(H, S)
         return vals[0], vecs[:, 0]
-    E, V = lowest_states(H, S, 1)
+    if whitening is not None:
+        E, V = lowest_states_whitened(H, whitening, 1)
+    else:
+        E, V = lowest_states(H, S, 1)
     return E[0], V[0]
 
 
 def approximate_multistate(h1, h2, one_rdm, two_rdm, S, nroots=1,
-                           hermitian=True):
+                           hermitian=True, whitening=None):
     """Lowest nroots subspace states (reference: approximate_multistate,
     ab_initio_eigenvector_continuation.py:93-175)."""
     H = assemble_hamiltonian(h1, h2, one_rdm, two_rdm)
@@ -175,6 +212,8 @@ def approximate_multistate(h1, h2, one_rdm, two_rdm, S, nroots=1,
         assert vals.shape[0] >= nroots
         return vals[:nroots], vecs[:, :nroots].T
     assert S.shape[0] >= nroots
+    if whitening is not None:
+        return lowest_states_whitened(H, whitening, nroots)
     return lowest_states(H, S, nroots)
 
 

@@ -31,6 +31,7 @@ from .continuation import (
     approximate_multistate,
     oao_integrals,
     predicted_rdms,
+    whitening_matrix,
 )
 from .integrals.engine import IntegralEngine
 from .molecule import Molecule
@@ -51,6 +52,8 @@ class ContinuationModel:
         self.overlap = jnp.asarray(overlap)
         self.one_rdm = jnp.asarray(one_rdm)
         self.two_rdm = jnp.asarray(two_rdm)
+        # the training overlap is geometry-independent: whiten it once
+        self.whitening = whitening_matrix(self.overlap)
         self.hermitian = hermitian
         if not hermitian:
             # the non-hermitian path needs host scipy.eig; jit paths below
@@ -67,9 +70,7 @@ class ContinuationModel:
     # -- core jitted computations (static self via engine hashing) ----------
     @partial(jax.jit, static_argnums=0)
     def _energy(self, coords, overlap, one_rdm, two_rdm):
-        h1, h2, enuc = oao_integrals(self.engine, coords)
-        en, _ = approximate_ground_state(h1, h2, one_rdm, two_rdm, overlap)
-        return en + enuc
+        return self._energy_raw(coords, overlap, one_rdm, two_rdm)
 
     @partial(jax.jit, static_argnums=0)
     def _energy_and_grad(self, coords, overlap, one_rdm, two_rdm):
@@ -79,7 +80,8 @@ class ContinuationModel:
 
     def _energy_raw(self, coords, overlap, one_rdm, two_rdm):
         h1, h2, enuc = oao_integrals(self.engine, coords)
-        en, _ = approximate_ground_state(h1, h2, one_rdm, two_rdm, overlap)
+        en, _ = approximate_ground_state(h1, h2, one_rdm, two_rdm, overlap,
+                                         whitening=self.whitening)
         return en + enuc
 
     @partial(jax.jit, static_argnums=0)
@@ -98,7 +100,8 @@ class ContinuationModel:
     def _multistate(self, coords, nroots, overlap, one_rdm, two_rdm):
         h1, h2, enuc = oao_integrals(self.engine, coords)
         en, vecs = approximate_multistate(h1, h2, one_rdm, two_rdm, overlap,
-                                          nroots=nroots)
+                                          nroots=nroots,
+                                          whitening=self.whitening)
         return en + enuc, vecs
 
     @partial(jax.jit, static_argnums=(0, 2))
@@ -107,7 +110,8 @@ class ContinuationModel:
         def energies(c):
             h1, h2, enuc = oao_integrals(self.engine, c)
             en, _ = approximate_multistate(h1, h2, one_rdm, two_rdm,
-                                           overlap, nroots=nroots)
+                                           overlap, nroots=nroots,
+                                           whitening=self.whitening)
             return en + enuc
         en = energies(coords)
         grads = jax.jacrev(energies)(coords)   # (nroots, natm, 3)
@@ -119,7 +123,8 @@ class ContinuationModel:
         observables; reference: return_density_matrices=True in
         get_energy_with_grad, ab_initio_gradients_loewdin.py:308-373)."""
         h1, h2, enuc = oao_integrals(self.engine, coords)
-        en, vec = approximate_ground_state(h1, h2, one_rdm, two_rdm, overlap)
+        en, vec = approximate_ground_state(h1, h2, one_rdm, two_rdm, overlap,
+                                           whitening=self.whitening)
         rdm1, rdm2 = predicted_rdms(vec, one_rdm, two_rdm, self.engine.nao)
         return en + enuc, vec, rdm1, rdm2
 
@@ -168,10 +173,12 @@ class ContinuationModel:
     # convenience for the MD / active-learning drivers
     def energy_fn(self):
         ov, r1, r2 = self.overlap, self.one_rdm, self.two_rdm
+        wh = self.whitening
         engine = self.engine
 
         def f(coords):
             h1, h2, enuc = oao_integrals(engine, coords)
-            en, _ = approximate_ground_state(h1, h2, r1, r2, ov)
+            en, _ = approximate_ground_state(h1, h2, r1, r2, ov,
+                                             whitening=wh)
             return en + enuc
         return f
