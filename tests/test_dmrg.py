@@ -1,0 +1,104 @@
+"""In-framework DMRG tests: MPO exactness, ground states vs FCI, and the
+DMRG training backend."""
+
+import numpy as np
+import pytest
+
+from evcont_tpu.molecule import Molecule
+from evcont_tpu.integrals.engine import IntegralEngine
+from evcont_tpu.oao import loewdin_trafo, transform_integrals
+from evcont_tpu.solvers.fci import FCISolver
+from evcont_tpu.solvers.dmrg import (
+    build_hamiltonian_mpo, dmrg_ground_state, mpo_to_dense,
+    mps_to_ci, mpo_expectation,
+)
+
+
+def _ints(natoms, d):
+    mol = Molecule.build([("H", (0, 0, d * i)) for i in range(natoms)],
+                         basis="sto-3g")
+    eng = IntegralEngine(mol)
+    b = eng.compute_jit(np.asarray(mol.coords))
+    trafo = np.array(loewdin_trafo(b.ovlp))
+    h1, h2 = [np.array(x) for x in transform_integrals(
+        np.array(b.hcore), np.array(b.eri), trafo)]
+    return h1, h2
+
+
+def _dense_fock_h(h1, eri):
+    """Independent Fock-space construction via kron products."""
+    norb = h1.shape[0]
+    n = 2 * norb
+    I2, Z = np.eye(2), np.diag([1.0, -1.0])
+    CR = np.array([[0.0, 0.0], [1.0, 0.0]])
+
+    def mode_op(i, op):
+        out = np.array([[1.0]])
+        for m in [Z] * i + [op] + [I2] * (n - i - 1):
+            out = np.kron(out, m)
+        return out
+
+    ad = [mode_op(i, CR) for i in range(n)]
+    a = [m.T for m in ad]
+    H = np.zeros((2 ** n, 2 ** n))
+    for p in range(norb):
+        for q in range(norb):
+            if abs(h1[p, q]) > 1e-14:
+                for s in range(2):
+                    H += h1[p, q] * (ad[2 * p + s] @ a[2 * q + s])
+    for p in range(norb):
+        for q in range(norb):
+            for r in range(norb):
+                for s_ in range(norb):
+                    g = eri[p, q, r, s_]
+                    if abs(g) < 1e-14:
+                        continue
+                    for sa in range(2):
+                        for sb in range(2):
+                            H += 0.5 * g * (ad[2 * p + sa] @ ad[2 * r + sb]
+                                            @ a[2 * s_ + sb]
+                                            @ a[2 * q + sa])
+    return H
+
+
+def test_mpo_exact_vs_dense_fock():
+    h1, h2 = _ints(3, 1.6)
+    W = build_hamiltonian_mpo(h1, h2)
+    np.testing.assert_allclose(mpo_to_dense(W), _dense_fock_h(h1, h2),
+                               atol=1e-11)
+
+
+def test_dmrg_ground_state_vs_fci():
+    h1, h2 = _ints(4, 1.8)
+    W = build_hamiltonian_mpo(h1, h2)
+    e, mps = dmrg_ground_state(W, 8, 4, bond_dims=(16, 32, 64),
+                               sweeps_per_dim=2)
+    e_fci, v_fci = FCISolver(4, 4).kernel(h1, h2)
+    assert abs(e - e_fci) < 1e-8
+    # CI extraction with JW reordering signs: state overlap up to phase
+    ci = mps_to_ci(mps, 4, (2, 2))
+    ci = ci / np.linalg.norm(ci)
+    assert abs(abs(np.vdot(ci, v_fci)) - 1.0) < 1e-7
+
+
+def test_dmrg_backend_matches_fci_backend():
+    from evcont_tpu.backends.dmrg_backend import DMRGBackend
+    from evcont_tpu.backends.fci_backend import FCIBackend
+    from evcont_tpu.model import ContinuationModel
+
+    def h4(d):
+        return Molecule.build([("H", (0, 0, d * i)) for i in range(4)],
+                              basis="sto-3g")
+
+    bd = DMRGBackend(bond_dims=(16, 32), sweeps_per_dim=2)
+    bf = FCIBackend()
+    for d in [1.4, 2.1]:
+        bd.append_to_rdms(h4(d))
+        bf.append_to_rdms(h4(d))
+    np.testing.assert_allclose(bd.ens, bf.ens, atol=1e-8)
+    md = ContinuationModel.from_backend(h4(1.8), bd)
+    mf = ContinuationModel.from_backend(h4(1.8), bf)
+    for d in [1.6, 2.3]:
+        ed = float(md.potential(h4(d).coords))
+        ef = float(mf.potential(h4(d).coords))
+        assert abs(ed - ef) < 1e-7
