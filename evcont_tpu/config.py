@@ -27,7 +27,7 @@ class MoleculeConfig:
 class SolverConfig:
     """Training-state solver knobs (FCI_EVCont.py:15-48,
     CASCI_EVCont.py:94-127)."""
-    backend: str = "fci"              # fci | casci | ingest
+    backend: str = "fci"              # fci | casci | dmrg | ingest
     cibasis: str = "OAO"              # OAO | canonical | split
     nroots: int = 1
     roots_train: Optional[List[int]] = None
@@ -129,6 +129,10 @@ class RunConfig:
         if s.backend == "casci":
             from .backends.casci_backend import CASCIBackend
             return CASCIBackend(ncas=s.ncas, nelecas=s.nelecas)
+        if s.backend == "dmrg":
+            from .backends.dmrg_backend import DMRGBackend
+            ladder = [d for d in self.dmrg.bond_dims() if d <= 128] or [32]
+            return DMRGBackend(bond_dims=tuple(ladder))
         if s.backend == "ingest":
             from .backends.trdm_ingest import TRDMIngestBackend
             return TRDMIngestBackend()

@@ -32,6 +32,9 @@ def main(basis="sto-3g", steps=300, dt=5.0, convergence_thresh=1e-3,
         from ..backends.casci_backend import CASCIBackend
         backend = CASCIBackend(ncas=ncas, nelecas=nelecas)
         evaluate_accuracy = False  # FCI oracle not applicable
+    elif backend_type == "dmrg":
+        from ..backends.dmrg_backend import DMRGBackend
+        backend = DMRGBackend()
     else:
         backend = FCIBackend()
     trajectory = converge_EVCont_MD(
@@ -68,7 +71,8 @@ if __name__ == "__main__":
     ap.add_argument("--dt", type=float, default=5.0)
     ap.add_argument("--workdir", default=".")
     ap.add_argument("--no-accuracy", action="store_true")
-    ap.add_argument("--backend", default="fci", choices=["fci", "casci"])
+    ap.add_argument("--backend", default="fci",
+                    choices=["fci", "casci", "dmrg"])
     ap.add_argument("--ncas", type=int, default=8)
     ap.add_argument("--nelecas", type=int, default=4)
     args = ap.parse_args()
