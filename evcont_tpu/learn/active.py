@@ -28,6 +28,22 @@ from . import selection
 from .checkpoints import save_state
 
 
+def _drop_last_state(overlap, one_rdm, two_rdm):
+    """Training store without its most recent state, for any layout. Full
+    (Ntrn, Ntrn, ...) stores slice both leading axes; pair-compressed
+    stores drop the last Ntrn packed entries (the tril row of the newest
+    state)."""
+    ntrain = overlap.shape[0]
+    ov = overlap[:-1, :-1]
+    def drop(arr):
+        if arr.ndim >= 2 and arr.shape[0] == ntrain and \
+                arr.shape[1] == ntrain:
+            return arr[:-1, :-1]
+        # pair-compressed: leading axis is Ntrn(Ntrn+1)/2
+        return arr[:-(ntrain)]
+    return ov, drop(one_rdm), drop(two_rdm)
+
+
 def _predict_batch(mol, overlap, one_rdm, two_rdm, trajectory,
                    chunk_size=32):
     """Re-predict a trajectory's energies with a (sub)set of training data,
@@ -67,11 +83,12 @@ def converge_EVCont_MD(backend, init_mol, steps=100, dt=1.0,
     md_kwargs = md_kwargs or {}
     os.makedirs(workdir, exist_ok=True)
 
-    def run_traj(i):
+    def run_traj(i, reuse=False):
         traj_npy = os.path.join(workdir, f"traj_EVCont_{i}.npy")
         ens_file = os.path.join(workdir, f"ens_EVCont_{i}.xyz")
-        if os.path.exists(traj_npy) and os.path.exists(ens_file):
+        if reuse and os.path.exists(traj_npy) and os.path.exists(ens_file):
             # resume: reuse the stored trajectory + its energies
+            # (reference: traj_computed check, MD_utils.py:220,240-252)
             coords = np.load(traj_npy)
             epot = np.genfromtxt(ens_file)[:, 1]
             return coords, epot
@@ -108,11 +125,12 @@ def converge_EVCont_MD(backend, init_mol, steps=100, dt=1.0,
         i = len(trn_times) - 1
         trn_geometries = reconstruct_geometries(trn_times)
         save(i)
-        trajectory, updated_ens = run_traj(i)
+        trajectory, updated_ens = run_traj(i, reuse=True)
         if i > 0:
             reference_ens = _predict_batch(
-                init_mol, backend.overlap[:-1, :-1],
-                backend.one_rdm[:-1, :-1], backend.two_rdm[:-1, :-1],
+                init_mol, *_drop_last_state(backend.overlap,
+                                            backend.one_rdm,
+                                            backend.two_rdm),
                 trajectory)
         else:
             reference_ens = np.full_like(updated_ens, updated_ens[0])
@@ -165,8 +183,8 @@ def converge_EVCont_MD(backend, init_mol, steps=100, dt=1.0,
 
         # ---- re-predict with the previous subspace ----------------------
         reference_ens = _predict_batch(
-            init_mol, backend.overlap[:-1, :-1],
-            backend.one_rdm[:-1, :-1], backend.two_rdm[:-1, :-1],
+            init_mol, *_drop_last_state(backend.overlap, backend.one_rdm,
+                                        backend.two_rdm),
             trajectory)
 
         # ---- optional leave-one-out pruning -----------------------------
