@@ -181,3 +181,29 @@ def test_predicted_rdms_layouts():
     r1_c, r2_c = predicted_rdms(vec, g1, jnp.asarray(g2_2d), norb)
     np.testing.assert_allclose(np.array(r1_c), np.array(r1_full), atol=1e-11)
     np.testing.assert_allclose(np.array(r2_c), np.array(r2_full), atol=1e-11)
+
+
+def test_oao_wrappers():
+    """Reference-parity front doors approximate_*_OAO
+    (ab_initio_eigenvector_continuation.py:178-250)."""
+    from evcont_tpu.molecule import Molecule
+    from evcont_tpu.backends.fci_backend import FCIBackend
+    from evcont_tpu.integrals.engine import IntegralEngine
+    from evcont_tpu.continuation import (
+        approximate_ground_state_OAO, approximate_multistate_OAO)
+
+    def h2(d):
+        return Molecule.build([("H", (0, 0, 0)), ("H", (0, 0, d))],
+                              basis="sto-3g")
+
+    be = FCIBackend()
+    for d in [1.2, 1.6]:
+        be.append_to_rdms(h2(d))
+    eng = IntegralEngine(h2(1.4))
+    e, vec = approximate_ground_state_OAO(
+        eng, np.asarray(h2(1.2).coords), be.one_rdm, be.two_rdm, be.overlap)
+    assert abs(float(e) - be.ens[0]) < 1e-9
+    ens, vecs = approximate_multistate_OAO(
+        eng, np.asarray(h2(1.4).coords), be.one_rdm, be.two_rdm, be.overlap,
+        nroots=2)
+    assert np.array(ens)[0] < np.array(ens)[1]
