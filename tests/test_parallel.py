@@ -41,7 +41,8 @@ def test_sharded_store_matches_replicated():
     with mesh:
         e, g = model._energy_and_grad_batch(batch_sharded, ov, r1, r2)
     np.testing.assert_allclose(np.array(e), e_ref, atol=1e-10)
-    np.testing.assert_allclose(np.array(g), g_ref, atol=1e-9)
+    # _energy_and_grad_batch returns gradients; forces are their negative
+    np.testing.assert_allclose(-np.array(g), g_ref, atol=1e-9)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
