@@ -26,25 +26,38 @@ from ..solvers.scf import rhf_from_engine
 from .common import h_chain
 
 
-def main(n_atoms=10, basis="sto-6g", train_dists=(1.2, 1.6, 2.0, 2.4, 2.8),
+def main(n_atoms=10, basis="sto-6g", equilibrium_dist=1.78596,
+         train_stretches=(0.0, 0.5, -0.5, 1.0, -1.0),
          n_test=50, n_exact=10, displacement=0.1, seed=0, workdir=".",
          batch_size=10, gap_baseline=True):
+    """Reference sampling (H10_continuation_3D_replacements.py:80-146):
+    training on symmetric stretches around the equilibrium spacing
+    1.78596 Bohr; test geometries are the equilibrium chain with each atom
+    displaced by `displacement` (the script's `radius` argv) in a uniformly
+    random direction."""
     os.makedirs(workdir, exist_ok=True)
     rng = np.random.default_rng(seed)
 
+    train_dists = [equilibrium_dist + st for st in train_stretches]
     backend = FCIBackend()
     for d in train_dists:
         backend.append_to_rdms(h_chain(n_atoms, d, basis=basis))
 
-    base = h_chain(n_atoms, 1.9, basis=basis)
+    base = h_chain(n_atoms, equilibrium_dist, basis=basis)
     model = ContinuationModel.from_backend(base, backend)
 
-    # random 3D displacements around sampled stretches (reference :128-146)
+    # fixed-radius random spherical displacements of the equilibrium chain
+    # (reference :125-146)
+    eq = np.asarray(base.coords)
     tests = []
     for _ in range(n_test):
-        d = rng.uniform(1.0, 3.0)
-        c = np.asarray(h_chain(n_atoms, d).coords)
-        tests.append(c + displacement * rng.standard_normal(c.shape))
+        theta = rng.random(n_atoms) * np.pi
+        phi = rng.random(n_atoms) * 2 * np.pi
+        disp = displacement * np.stack([
+            np.sin(theta) * np.cos(phi),
+            np.sin(theta) * np.sin(phi),
+            np.cos(theta)], axis=-1)
+        tests.append(eq + disp)
     tests = np.stack(tests)
 
     # batched continuation energies + forces
