@@ -190,6 +190,56 @@ def stage4_continuation_md(mol, n_train, seed, steps=10000, dt=25.0,
 
 
 # ---------------------------------------------------------------------------
+def evaluate_observables(mol, n_train, trajectory, workdir=".",
+                         chunk_size=16):
+    """Dipole moments and Mulliken charges along a *stored* trajectory
+    (reference: evaluate_dipole_moment_charges_continuation.py — the
+    standalone post-processing variant of the stage-4 in-scan observables).
+    Device-batched over frames; writes dipoles_eval.npy / charges_eval.npy.
+    """
+    import jax.numpy as jnp
+    from ..continuation import (oao_integrals, approximate_ground_state,
+                                predicted_rdm1)
+
+    backend = TRDMIngestBackend().load(workdir, n_train)
+    model = ContinuationModel(mol, backend.overlap, backend.one_rdm,
+                              backend.two_rdm)
+    engine = model.engine
+    masses = mol.masses_au()
+
+    @jax.jit
+    def obs_batch(frames):
+        def one(c):
+            h1, h2, _ = oao_integrals(engine, c)
+            _, vec = approximate_ground_state(
+                h1, h2, model.one_rdm, model.two_rdm, model.overlap,
+                whitening=model.whitening)
+            rdm1 = predicted_rdm1(vec, model.one_rdm)
+            return (dipole_moment(engine, masses, c, rdm1),
+                    mulliken_charges(engine, c, rdm1))
+        return jax.vmap(one)(frames)
+
+    traj = np.asarray(trajectory)
+    dips, charges = [], []
+    for start in range(0, traj.shape[0], chunk_size):
+        chunk = traj[start:start + chunk_size]
+        pad = chunk_size - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        d, q = obs_batch(jnp.asarray(chunk))
+        d, q = np.array(d), np.array(q)
+        if pad:
+            d, q = d[:-pad], q[:-pad]
+        dips.append(d)
+        charges.append(q)
+    dips = np.concatenate(dips)
+    charges = np.concatenate(charges)
+    np.save(os.path.join(workdir, "dipoles_eval.npy"), dips)
+    np.save(os.path.join(workdir, "charges_eval.npy"), charges)
+    return dips, charges
+
+
+# ---------------------------------------------------------------------------
 def stage5_test_potential(mol, n_train, test_geometries, workdir=".",
                           subset_sizes=None, reference_energies=None):
     """Per-frame PES comparison for growing training subsets
