@@ -346,6 +346,65 @@ def mps_to_statevector(mps):
     return v[:, 0]
 
 
+def _transfer(E, A, B, op=None):
+    """One-site transfer of the (bra_bond, ket_bond) environment."""
+    Bx = B if op is None else np.einsum("xy,cyf->cxf", op, B,
+                                        optimize=True)
+    T = np.einsum("ac,cxf->axf", E, Bx, optimize=True)
+    return np.einsum("axf,axd->df", T, np.conj(A), optimize=True)
+
+
+def mps_overlap(mpsA, mpsB):
+    """<A|B> between two MPSes of equal site count."""
+    E = np.ones((1, 1))
+    for A, B in zip(mpsA, mpsB):
+        E = _transfer(E, A, B)
+    return float(E[0, 0])
+
+
+def mps_transition_rdm1(mpsA, mpsB, norb):
+    """Spin-summed transition 1-RDM <A| E_pq |B> between two MPSes
+    (bra != ket), with Jordan-Wigner strings handled per operator pair.
+
+    O(k^3 m^3) host contraction — the first rung of MPS-native t-RDMs
+    (the 2-RDM sweep, needed to feed the continuation beyond the dense
+    extraction limit, is future work)."""
+    n_sites = len(mpsA)
+    # plain left environments
+    Lp = [np.ones((1, 1))]
+    for s in range(n_sites):
+        Lp.append(_transfer(Lp[s], mpsA[s], mpsB[s]))
+    # plain right environments: Rp[s][d, f] sums sites s..end
+    Rp = [None] * (n_sites + 1)
+    Rp[n_sites] = np.ones((1, 1))
+    for s in range(n_sites - 1, -1, -1):
+        Rp[s] = np.einsum("axd,cxf,df->ac", np.conj(mpsA[s]), mpsB[s],
+                          Rp[s + 1], optimize=True)
+
+    def elem(i, j):
+        """<A| a+_i a_j |B> for modes i, j."""
+        lo, hi = min(i, j), max(i, j)
+        E = Lp[lo]
+        for s in range(lo, hi + 1):
+            if i == j and s == i:
+                op = _N
+            elif s == i:                      # creation site
+                op = _CR @ _Z if i < j else _CR
+            elif s == j:                      # annihilation site
+                op = _AN if j > i else _Z @ _AN
+            else:
+                op = _Z
+            E = _transfer(E, mpsA[s], mpsB[s], op)
+        # close with the plain right environment
+        return float(np.einsum("df,df->", E, Rp[hi + 1], optimize=True))
+
+    rdm1 = np.zeros((norb, norb))
+    for p in range(norb):
+        for q in range(norb):
+            rdm1[p, q] = elem(2 * p, 2 * q) + elem(2 * p + 1, 2 * q + 1)
+    return rdm1
+
+
 def mps_to_ci(mps, norb, nelec):
     """Extract the (Na, Nb) particle-number-resolved CI matrix from an MPS
     (exact; practical to ~12 spatial orbitals).

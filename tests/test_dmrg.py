@@ -102,3 +102,35 @@ def test_dmrg_backend_matches_fci_backend():
         ed = float(md.potential(h4(d).coords))
         ef = float(mf.potential(h4(d).coords))
         assert abs(ed - ef) < 1e-7
+
+
+def test_mps_cross_expectations():
+    """MPS-native overlap and transition 1-RDM between different MPSes
+    (bra != ket) must match the dense CI extraction — the first rung of
+    orbital-unlimited DMRG t-RDMs."""
+    from evcont_tpu.solvers.dmrg import (
+        mps_overlap, mps_transition_rdm1, mps_to_ci)
+
+    # random-MPS sanity: overlap equals the statevector dot product
+    from evcont_tpu.solvers.dmrg import mps_to_statevector
+    rng = np.random.default_rng(0)
+    A = [rng.standard_normal(s) for s in [(1, 2, 3), (3, 2, 4), (4, 2, 1)]]
+    B = [rng.standard_normal(s) for s in [(1, 2, 2), (2, 2, 5), (5, 2, 1)]]
+    assert abs(mps_overlap(A, B)
+               - np.vdot(mps_to_statevector(A),
+                         mps_to_statevector(B))) < 1e-12
+
+    mps_list, ci_list = [], []
+    for d in [1.5, 2.2]:
+        h1, h2 = _ints(4, d)
+        W = build_hamiltonian_mpo(h1, h2)
+        _, mps = dmrg_ground_state(W, 8, 4, bond_dims=(16, 32),
+                                   sweeps_per_dim=2)
+        mps_list.append(mps)
+        ci_list.append(mps_to_ci(mps, 4, (2, 2)))
+    assert abs(mps_overlap(*mps_list)
+               - np.vdot(ci_list[0], ci_list[1])) < 1e-8
+    r1_mps = mps_transition_rdm1(mps_list[0], mps_list[1], 4)
+    r1_ci, _ = FCISolver(4, 4, spin=None).trans_rdm12(ci_list[0],
+                                                      ci_list[1])
+    np.testing.assert_allclose(r1_mps, r1_ci, atol=1e-8)
