@@ -405,6 +405,45 @@ def mps_transition_rdm1(mpsA, mpsB, norb):
     return rdm1
 
 
+def mps_cross_term(mpsA, mpsB, op_list):
+    """<A| (fermionic operator string) |B> for an arbitrary op_list in the
+    term_mpo convention ([("+", mode), ...], applied right-to-left on kets).
+    Full-chain transfer: O(n m^3) per term."""
+    n_sites = len(mpsA)
+    mats = term_mpo(n_sites, op_list, 1.0)
+    E = np.ones((1, 1))
+    for s in range(n_sites):
+        E = _transfer(E, mpsA[s], mpsB[s], mats[s][0, 0])
+    return float(E[0, 0])
+
+
+def mps_transition_rdm12(mpsA, mpsB, norb):
+    """Transition 1- and 2-RDMs between two MPSes, conventions matching
+    solvers/fci.py (chemist order, spin-summed):
+        rdm2[p,q,r,s] = sum_st <A| a+_ps a+_rt a_st a_qs |B>.
+
+    Exact but unoptimized: O(norb^4) operator strings, each a full-chain
+    transfer — the correctness reference for the cached-environment sweeps
+    that will make large-orbital DMRG t-RDMs practical."""
+    rdm1 = mps_transition_rdm1(mpsA, mpsB, norb)
+    rdm2 = np.zeros((norb,) * 4)
+    for p in range(norb):
+        for q in range(norb):
+            for r in range(norb):
+                for s_ in range(norb):
+                    val = 0.0
+                    for sa in range(2):
+                        for sb in range(2):
+                            ops = [("+", 2 * p + sa), ("+", 2 * r + sb),
+                                   ("-", 2 * s_ + sb), ("-", 2 * q + sa)]
+                            # same spin with identical modes annihilates
+                            if sa == sb and (p == r or q == s_):
+                                continue
+                            val += mps_cross_term(mpsA, mpsB, ops)
+                    rdm2[p, q, r, s_] = val
+    return rdm1, rdm2
+
+
 def mps_to_ci(mps, norb, nelec):
     """Extract the (Na, Nb) particle-number-resolved CI matrix from an MPS
     (exact; practical to ~12 spatial orbitals).

@@ -134,3 +134,41 @@ def test_mps_cross_expectations():
     r1_ci, _ = FCISolver(4, 4, spin=None).trans_rdm12(ci_list[0],
                                                       ci_list[1])
     np.testing.assert_allclose(r1_mps, r1_ci, atol=1e-8)
+
+
+def test_mps_cross_rdm2_and_backend_mode():
+    """MPS-native transition 2-RDM matches dense CI algebra, and the
+    DMRG backend's trdm_method='mps' matches 'dense' end to end."""
+    from evcont_tpu.solvers.dmrg import mps_transition_rdm12, mps_to_ci
+    from evcont_tpu.backends.dmrg_backend import DMRGBackend
+    from evcont_tpu.model import ContinuationModel
+
+    mps_list, ci_list = [], []
+    for d in [1.5, 2.2]:
+        h1, h2 = _ints(4, d)
+        W = build_hamiltonian_mpo(h1, h2)
+        _, mps = dmrg_ground_state(W, 8, 4, bond_dims=(16, 32),
+                                   sweeps_per_dim=2)
+        mps_list.append(mps)
+        ci_list.append(mps_to_ci(mps, 4, (2, 2)))
+    r1_mps, r2_mps = mps_transition_rdm12(mps_list[0], mps_list[1], 4)
+    r1_ci, r2_ci = FCISolver(4, 4, spin=None).trans_rdm12(
+        ci_list[0], ci_list[1])
+    np.testing.assert_allclose(r1_mps, r1_ci, atol=1e-8)
+    np.testing.assert_allclose(r2_mps, r2_ci, atol=1e-8)
+
+    def h4(d):
+        return Molecule.build([("H", (0, 0, d * i)) for i in range(4)],
+                              basis="sto-3g")
+
+    b1 = DMRGBackend(bond_dims=(16, 32), trdm_method="dense")
+    b2 = DMRGBackend(bond_dims=(16, 32), trdm_method="mps")
+    for d in [1.4, 2.1]:
+        b1.append_to_rdms(h4(d))
+        b2.append_to_rdms(h4(d))
+    m1 = ContinuationModel.from_backend(h4(1.8), b1)
+    m2 = ContinuationModel.from_backend(h4(1.8), b2)
+    for d in [1.6, 2.3]:
+        e1 = float(m1.potential(h4(d).coords))
+        e2 = float(m2.potential(h4(d).coords))
+        assert abs(e1 - e2) < 1e-7
