@@ -22,8 +22,6 @@ reference's training states, evcont/DMRG_EVCont.py / converge_dmrg.py):
 Host numpy implementation: training-side tool, f64 exactness first.
 """
 
-from dataclasses import dataclass
-
 import numpy as np
 
 # single-site (d=2) operators
