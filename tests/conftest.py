@@ -18,3 +18,9 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: the integral-engine graphs dominate test
+# wall time and are identical across runs
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/evcont_tpu_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

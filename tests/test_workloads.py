@@ -57,6 +57,13 @@ def test_zundel_pipeline_stages(tmp_path):
                                    subset_sizes=[n_train])
     assert np.all(np.isfinite(res[n_train]))
 
+    # standalone observable evaluator must reproduce the in-scan
+    # stage-4 observables on the same trajectory
+    d2, q2 = zp.evaluate_observables(mol, n_train, coords, workdir=wd,
+                                     chunk_size=3)
+    np.testing.assert_allclose(d2, dips, atol=1e-9)
+    np.testing.assert_allclose(q2, charges, atol=1e-9)
+
 
 def test_h30_workload_restart_path(tmp_path):
     from evcont_tpu.workloads import h30_md
@@ -90,26 +97,3 @@ def test_zundel_zmatrix_geometry():
     ang = np.degrees(np.arccos(
         v1 @ v2 / np.linalg.norm(v1) / np.linalg.norm(v2)))
     assert abs(ang - 173.730) < 1e-6
-
-
-def test_evaluate_observables_matches_in_scan(tmp_path):
-    """The standalone observable evaluator must reproduce the in-scan
-    stage-4 observables on the same trajectory."""
-    from evcont_tpu.workloads import zundel_pipeline as zp
-    mol = water("sto-3g")
-    rng = np.random.default_rng(0)
-    pool = np.asarray(mol.coords)[None] \
-        + 0.08 * rng.standard_normal((8, mol.natm, 3))
-    wd = str(tmp_path)
-    zp.stage1_select_training_set(mol, [pool], 2, workdir=wd)
-    for i in range(2):
-        zp.stage2_solve_training_state(mol, i, workdir=wd)
-    for i in range(2):
-        for j in range(i + 1):
-            zp.stage3_pair_trdm(mol, i, j, workdir=wd)
-    coords, dips, charges = zp.stage4_continuation_md(
-        mol, 2, seed=1, steps=4, dt=10.0, workdir=wd)
-    d2, q2 = zp.evaluate_observables(mol, 2, coords, workdir=wd,
-                                     chunk_size=3)
-    np.testing.assert_allclose(d2, dips, atol=1e-9)
-    np.testing.assert_allclose(q2, charges, atol=1e-9)
