@@ -42,6 +42,9 @@ def __getattr__(name):
     if name == "CASCIBackend":
         from .backends.casci_backend import CASCIBackend
         return CASCIBackend
+    if name == "DMRGBackend":
+        from .backends.dmrg_backend import DMRGBackend
+        return DMRGBackend
     if name == "TRDMIngestBackend":
         from .backends.trdm_ingest import TRDMIngestBackend
         return TRDMIngestBackend
