@@ -403,16 +403,40 @@ def mps_transition_rdm1(mpsA, mpsB, norb):
     return rdm1
 
 
-def mps_cross_term(mpsA, mpsB, op_list):
+def _plain_envs(mpsA, mpsB):
+    """Cached identity left/right environments between two MPSes."""
+    n_sites = len(mpsA)
+    Lp = [np.ones((1, 1))]
+    for s in range(n_sites):
+        Lp.append(_transfer(Lp[s], mpsA[s], mpsB[s]))
+    Rp = [None] * (n_sites + 1)
+    Rp[n_sites] = np.ones((1, 1))
+    for s in range(n_sites - 1, -1, -1):
+        Rp[s] = np.einsum("axd,cxf,df->ac", np.conj(mpsA[s]), mpsB[s],
+                          Rp[s + 1], optimize=True)
+    return Lp, Rp
+
+
+def mps_cross_term(mpsA, mpsB, op_list, envs=None):
     """<A| (fermionic operator string) |B> for an arbitrary op_list in the
     term_mpo convention ([("+", mode), ...], applied right-to-left on kets).
-    Full-chain transfer: O(n m^3) per term."""
+
+    With cached plain environments (envs = _plain_envs(A, B)) only the
+    sites inside the operator span are contracted."""
     n_sites = len(mpsA)
     mats = term_mpo(n_sites, op_list, 1.0)
-    E = np.ones((1, 1))
-    for s in range(n_sites):
+    if envs is None:
+        E = np.ones((1, 1))
+        for s in range(n_sites):
+            E = _transfer(E, mpsA[s], mpsB[s], mats[s][0, 0])
+        return float(E[0, 0])
+    Lp, Rp = envs
+    sites = [s for _, s in op_list]
+    lo, hi = (min(sites), max(sites)) if sites else (0, -1)
+    E = Lp[lo]
+    for s in range(lo, hi + 1):
         E = _transfer(E, mpsA[s], mpsB[s], mats[s][0, 0])
-    return float(E[0, 0])
+    return float(np.einsum("df,df->", E, Rp[hi + 1], optimize=True))
 
 
 def mps_transition_rdm12(mpsA, mpsB, norb):
@@ -420,9 +444,11 @@ def mps_transition_rdm12(mpsA, mpsB, norb):
     solvers/fci.py (chemist order, spin-summed):
         rdm2[p,q,r,s] = sum_st <A| a+_ps a+_rt a_st a_qs |B>.
 
-    Exact but unoptimized: O(norb^4) operator strings, each a full-chain
-    transfer — the correctness reference for the cached-environment sweeps
-    that will make large-orbital DMRG t-RDMs practical."""
+    Exact; O(norb^4) operator strings contracted over their site spans
+    between cached boundary environments. The full cached-environment
+    sweep (O(norb^2) scaling) is the planned round-2 lift for
+    production-size orbital counts."""
+    envs = _plain_envs(mpsA, mpsB)
     rdm1 = mps_transition_rdm1(mpsA, mpsB, norb)
     rdm2 = np.zeros((norb,) * 4)
     for p in range(norb):
@@ -437,7 +463,7 @@ def mps_transition_rdm12(mpsA, mpsB, norb):
                             # same spin with identical modes annihilates
                             if sa == sb and (p == r or q == s_):
                                 continue
-                            val += mps_cross_term(mpsA, mpsB, ops)
+                            val += mps_cross_term(mpsA, mpsB, ops, envs)
                     rdm2[p, q, r, s_] = val
     return rdm1, rdm2
 
