@@ -26,6 +26,15 @@ def make_mesh(n_devices=None, data_axis=1):
     the rest on the t-RDM pair axis."""
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"make_mesh: {n_devices} devices requested but only "
+                f"{len(devs)} visible ({devs[0].platform}). For a virtual "
+                "mesh, start the process with XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={n_devices} and "
+                "set jax.config.update('jax_platforms', 'cpu') after "
+                "importing jax (see tests/conftest.py)."
+            )
         devs = devs[:n_devices]
     n = len(devs)
     assert n % data_axis == 0, (n, data_axis)
