@@ -183,6 +183,50 @@ def _eig_host(H, S):
     return vals[valid].real[order], vecs[:, valid][:, order].real
 
 
+def _host_lowest_nonhermitian(H, S, nroots):
+    """Fixed-shape host kernel for the non-hermitian branch: lowest nroots
+    real-eigenvalue states, S-normalized, zero-padded if the imaginary-
+    eigenvalue filter leaves fewer than nroots states."""
+    vals, vecs = _eig_host(H, S)
+    n = S.shape[0]
+    E = np.zeros(nroots, dtype=S.dtype)
+    V = np.zeros((nroots, n), dtype=S.dtype)
+    k = min(nroots, vals.shape[0])
+    E[:k] = vals[:k]
+    for i in range(k):
+        c = vecs[:, i]
+        nrm = float(c @ np.asarray(S) @ c)
+        V[i] = c / np.sqrt(abs(nrm)) if abs(nrm) > 1e-300 else c
+    return E, V
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(2,))
+def lowest_states_nonhermitian(H, S, nroots=1):
+    """Jit-safe non-hermitian generalized eigensolve via a host callback
+    (TPU has no QZ). Energy derivatives use the same generalized
+    Hellmann-Feynman expression as the hermitian path with the right
+    eigenvector — exactly what the reference's force assembly does with the
+    hermitian=False eigenvector (ab_initio_gradients_loewdin.py:341-361)."""
+    nt = S.shape[0]
+    dtype = S.dtype
+    return jax.pure_callback(
+        lambda h, s: _host_lowest_nonhermitian(np.asarray(h), np.asarray(s),
+                                               nroots),
+        (jax.ShapeDtypeStruct((nroots,), dtype),
+         jax.ShapeDtypeStruct((nroots, nt), dtype)),
+        H, S, vmap_method="sequential")
+
+
+@lowest_states_nonhermitian.defjvp
+def _lowest_states_nonhermitian_jvp(nroots, primals, tangents):
+    H, S = primals
+    dH, dS = tangents
+    E, V = lowest_states_nonhermitian(H, S, nroots)
+    dE = jnp.einsum("ka,ab,kb->k", V, dH, V) \
+        - E * jnp.einsum("ka,ab,kb->k", V, dS, V)
+    return (E, V), (dE, jnp.zeros_like(V))
+
+
 def approximate_ground_state(h1, h2, one_rdm, two_rdm, S, hermitian=True,
                              whitening=None):
     """Subspace ground-state energy and eigenvector (electronic part only).
@@ -193,8 +237,8 @@ def approximate_ground_state(h1, h2, one_rdm, two_rdm, S, hermitian=True,
     the geometry-independent training overlap."""
     H = assemble_hamiltonian(h1, h2, one_rdm, two_rdm)
     if not hermitian:
-        vals, vecs = _eig_host(H, S)
-        return vals[0], vecs[:, 0]
+        E, V = lowest_states_nonhermitian(H, S, 1)
+        return E[0], V[0]
     if whitening is not None:
         E, V = lowest_states_whitened(H, whitening, 1)
     else:
@@ -208,9 +252,8 @@ def approximate_multistate(h1, h2, one_rdm, two_rdm, S, nroots=1,
     ab_initio_eigenvector_continuation.py:93-175)."""
     H = assemble_hamiltonian(h1, h2, one_rdm, two_rdm)
     if not hermitian:
-        vals, vecs = _eig_host(H, S)
-        assert vals.shape[0] >= nroots
-        return vals[:nroots], vecs[:, :nroots].T
+        assert S.shape[0] >= nroots
+        return lowest_states_nonhermitian(H, S, nroots)
     assert S.shape[0] >= nroots
     if whitening is not None:
         return lowest_states_whitened(H, whitening, nroots)

@@ -44,11 +44,36 @@ def _drop_last_state(overlap, one_rdm, two_rdm):
     return ov, drop(one_rdm), drop(two_rdm)
 
 
+def _subset_state(overlap, one_rdm, two_rdm, keep_ids):
+    """Training store restricted to `keep_ids`, for any layout. Full
+    (Ntrn, Ntrn, ...) stores slice both leading axes; pair-compressed
+    stores (leading axis Ntrn(Ntrn+1)/2) remap through the tril pair index
+    — the same mapping TRDMIngestBackend.prune_datapoints applies."""
+    overlap = np.asarray(overlap)
+    ntrain = overlap.shape[0]
+    keep = sorted(int(k) for k in keep_ids)
+    ix = np.ix_(keep, keep)
+    rows, cols = np.tril_indices(ntrain)
+    pos = {(int(a), int(b)): k for k, (a, b) in enumerate(zip(rows, cols))}
+    sel = np.array([pos[(i, j)] for k, i in enumerate(keep)
+                    for j in keep[:k + 1]])
+
+    def take(arr):
+        arr = np.asarray(arr)
+        if arr.ndim >= 2 and arr.shape[0] == ntrain and \
+                arr.shape[1] == ntrain:
+            return arr[ix]
+        return arr[sel]
+
+    return overlap[ix], take(one_rdm), take(two_rdm)
+
+
 def _predict_batch(mol, overlap, one_rdm, two_rdm, trajectory,
-                   chunk_size=32):
+                   chunk_size=32, hermitian=True):
     """Re-predict a trajectory's energies with a (sub)set of training data,
     batched on device."""
-    model = ContinuationModel(mol, overlap, one_rdm, two_rdm)
+    model = ContinuationModel(mol, overlap, one_rdm, two_rdm,
+                              hermitian=hermitian)
     traj = np.asarray(trajectory)
     out = []
     for start in range(0, traj.shape[0], chunk_size):
@@ -66,7 +91,7 @@ def converge_EVCont_MD(backend, init_mol, steps=100, dt=1.0,
                        prune_irrelevant_data=False,
                        data_addition="farthest_point_ham",
                        max_iterations=100, workdir=".",
-                       md_kwargs=None, trn_times=None):
+                       md_kwargs=None, trn_times=None, hermitian=True):
     """Iteratively: run MD with the current continuation, pick the frame
     farthest from the training set, solve it exactly, repeat until the
     trajectory's energy change from the last added point stays below
@@ -92,7 +117,8 @@ def converge_EVCont_MD(backend, init_mol, steps=100, dt=1.0,
             coords = np.load(traj_npy)
             epot = np.genfromtxt(ens_file)[:, 1]
             return coords, epot
-        model = ContinuationModel.from_backend(init_mol, backend)
+        model = ContinuationModel.from_backend(init_mol, backend,
+                                               hermitian=hermitian)
         with open(os.path.join(workdir, f"traj_EVCont_{i}.xyz"), "w") as tf, \
                 open(ens_file, "w") as ef:
             coords, epot, ekin = get_trajectory(
@@ -131,7 +157,7 @@ def converge_EVCont_MD(backend, init_mol, steps=100, dt=1.0,
                 init_mol, *_drop_last_state(backend.overlap,
                                             backend.one_rdm,
                                             backend.two_rdm),
-                trajectory)
+                trajectory, hermitian=hermitian)
         else:
             reference_ens = np.full_like(updated_ens, updated_ens[0])
         converged = False
@@ -185,7 +211,7 @@ def converge_EVCont_MD(backend, init_mol, steps=100, dt=1.0,
         reference_ens = _predict_batch(
             init_mol, *_drop_last_state(backend.overlap, backend.one_rdm,
                                         backend.two_rdm),
-            trajectory)
+            trajectory, hermitian=hermitian)
 
         # ---- optional leave-one-out pruning -----------------------------
         if prune_irrelevant_data:
@@ -196,10 +222,11 @@ def converge_EVCont_MD(backend, init_mol, steps=100, dt=1.0,
                 if test_keep.sum() < 1:
                     continue
                 ids = np.nonzero(test_keep)[0]
-                ix = np.ix_(ids, ids)
                 ens_removed = _predict_batch(
-                    init_mol, backend.overlap[ix], backend.one_rdm[ix],
-                    backend.two_rdm[ix], trajectory)
+                    init_mol,
+                    *_subset_state(backend.overlap, backend.one_rdm,
+                                   backend.two_rdm, ids),
+                    trajectory, hermitian=hermitian)
                 if np.all(np.abs(ens_removed - updated_ens)
                           < convergence_thresh):
                     keep = test_keep

@@ -52,15 +52,16 @@ class ContinuationModel:
         self.overlap = jnp.asarray(overlap)
         self.one_rdm = jnp.asarray(one_rdm)
         self.two_rdm = jnp.asarray(two_rdm)
-        # the training overlap is geometry-independent: whiten it once
+        # convenience for direct users of lowest_states_whitened; the jitted
+        # paths below whiten the overlap they are actually *passed* (which
+        # may differ from the init-time store, e.g. a pruned subset), so the
+        # cached value is never load-bearing
         self.whitening = whitening_matrix(self.overlap)
-        self.hermitian = hermitian
-        if not hermitian:
-            # the non-hermitian path needs host scipy.eig; jit paths below
-            # are hermitian-only (reference default)
-            raise NotImplementedError(
-                "hermitian=False is available via "
-                "continuation.approximate_ground_state on host arrays")
+        # hermitian=False routes the generalized eigensolve through a host
+        # scipy.eig callback with the reference's imaginary-eigenvalue
+        # filter (ab_initio_eigenvector_continuation.py:78-88); energies
+        # and Hellmann-Feynman forces work, on host-callback latency
+        self.hermitian = bool(hermitian)
 
     @classmethod
     def from_backend(cls, mol, backend, **kw):
@@ -81,7 +82,7 @@ class ContinuationModel:
     def _energy_raw(self, coords, overlap, one_rdm, two_rdm):
         h1, h2, enuc = oao_integrals(self.engine, coords)
         en, _ = approximate_ground_state(h1, h2, one_rdm, two_rdm, overlap,
-                                         whitening=self.whitening)
+                                         hermitian=self.hermitian)
         return en + enuc
 
     @partial(jax.jit, static_argnums=0)
@@ -101,7 +102,7 @@ class ContinuationModel:
         h1, h2, enuc = oao_integrals(self.engine, coords)
         en, vecs = approximate_multistate(h1, h2, one_rdm, two_rdm, overlap,
                                           nroots=nroots,
-                                          whitening=self.whitening)
+                                          hermitian=self.hermitian)
         return en + enuc, vecs
 
     @partial(jax.jit, static_argnums=(0, 2))
@@ -111,7 +112,7 @@ class ContinuationModel:
             h1, h2, enuc = oao_integrals(self.engine, c)
             en, _ = approximate_multistate(h1, h2, one_rdm, two_rdm,
                                            overlap, nroots=nroots,
-                                           whitening=self.whitening)
+                                           hermitian=self.hermitian)
             return en + enuc
         en = energies(coords)
         grads = jax.jacrev(energies)(coords)   # (nroots, natm, 3)
@@ -124,7 +125,7 @@ class ContinuationModel:
         get_energy_with_grad, ab_initio_gradients_loewdin.py:308-373)."""
         h1, h2, enuc = oao_integrals(self.engine, coords)
         en, vec = approximate_ground_state(h1, h2, one_rdm, two_rdm, overlap,
-                                           whitening=self.whitening)
+                                           hermitian=self.hermitian)
         rdm1, rdm2 = predicted_rdms(vec, one_rdm, two_rdm, self.engine.nao)
         return en + enuc, vec, rdm1, rdm2
 
@@ -173,12 +174,12 @@ class ContinuationModel:
     # convenience for the MD / active-learning drivers
     def energy_fn(self):
         ov, r1, r2 = self.overlap, self.one_rdm, self.two_rdm
-        wh = self.whitening
         engine = self.engine
+        hermitian = self.hermitian
 
         def f(coords):
             h1, h2, enuc = oao_integrals(engine, coords)
             en, _ = approximate_ground_state(h1, h2, r1, r2, ov,
-                                             whitening=wh)
+                                             hermitian=hermitian)
             return en + enuc
         return f

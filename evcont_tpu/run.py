@@ -51,7 +51,7 @@ def run(cfg: RunConfig):
         prune_irrelevant_data=cfg.learn.prune_irrelevant_data,
         data_addition=cfg.learn.data_addition,
         max_iterations=cfg.learn.max_iterations,
-        workdir=cfg.workdir)
+        workdir=cfg.workdir, hermitian=cfg.learn.hermitian)
 
 
 def main(argv=None):

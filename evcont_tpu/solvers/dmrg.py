@@ -418,11 +418,14 @@ def _plain_envs(mpsA, mpsB):
 
 
 def mps_cross_term(mpsA, mpsB, op_list, envs=None):
-    """<A| (fermionic operator string) |B> for an arbitrary op_list in the
-    term_mpo convention ([("+", mode), ...], applied right-to-left on kets).
+    """<A| (fermionic operator string) |B> in the term_mpo convention
+    ([("+", mode), ...], applied right-to-left on kets).
 
-    With cached plain environments (envs = _plain_envs(A, B)) only the
-    sites inside the operator span are contracted."""
+    Without envs: exact for any op_list (full-chain contraction). With
+    cached plain environments (envs = _plain_envs(A, B)) only the sites
+    inside the operator span are contracted — valid only for even-length
+    strings: an odd string leaves an uncancelled Jordan-Wigner Z on every
+    site left of the span, which the plain boundary environment ignores."""
     n_sites = len(mpsA)
     mats = term_mpo(n_sites, op_list, 1.0)
     if envs is None:
@@ -430,6 +433,11 @@ def mps_cross_term(mpsA, mpsB, op_list, envs=None):
         for s in range(n_sites):
             E = _transfer(E, mpsA[s], mpsB[s], mats[s][0, 0])
         return float(E[0, 0])
+    if len(op_list) % 2:
+        raise ValueError(
+            "cached-environment fast path requires an even-length operator "
+            "string (odd strings carry a JW Z tail left of the span); call "
+            "with envs=None for the exact full-chain contraction")
     Lp, Rp = envs
     sites = [s for _, s in op_list]
     lo, hi = (min(sites), max(sites)) if sites else (0, -1)

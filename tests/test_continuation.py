@@ -207,3 +207,91 @@ def test_oao_wrappers():
         eng, np.asarray(h2(1.4).coords), be.one_rdm, be.two_rdm, be.overlap,
         nroots=2)
     assert np.array(ens)[0] < np.array(ens)[1]
+
+
+def test_nonhermitian_lowest_states():
+    """Jit-safe non-hermitian branch (reference hermitian=False,
+    ab_initio_eigenvector_continuation.py:78-88): values match scipy's
+    generalized eig, gradients follow the generalized Hellmann-Feynman
+    expression with the right eigenvector."""
+    from scipy.linalg import eig
+    from evcont_tpu.continuation import lowest_states_nonhermitian
+
+    rng = np.random.default_rng(7)
+    n = 6
+    H = -np.eye(n) + 0.3 * rng.standard_normal((n, n))  # non-symmetric
+    A = rng.standard_normal((n, n))
+    S = A @ A.T + n * np.eye(n)
+
+    E, V = jax.jit(lambda h, s: lowest_states_nonhermitian(h, s, 2))(H, S)
+    vals, vecs = eig(H, S)
+    valid = np.abs(vals.imag) < 1e-5
+    ref = np.sort(vals[valid].real)
+    np.testing.assert_allclose(np.array(E), ref[:2], atol=1e-10)
+    # S-normalization of the returned vectors
+    for k in range(2):
+        assert abs(abs(np.array(V)[k] @ S @ np.array(V)[k]) - 1.0) < 1e-9
+
+    # Hellmann-Feynman: dE0/dH == outer(c0, c0) for S-normalized c0
+    g = jax.grad(lambda h: lowest_states_nonhermitian(h, S, 1)[0][0])(H)
+    c0 = np.array(V)[0]
+    np.testing.assert_allclose(np.array(g), np.outer(c0, c0), atol=1e-8)
+
+
+def test_model_hermitian_false_matches_hermitian():
+    """ContinuationModel(hermitian=False) must reproduce the hermitian
+    energies and forces on a symmetric store (regression for the round-1
+    NotImplementedError)."""
+    from evcont_tpu.molecule import Molecule
+    from evcont_tpu.backends.fci_backend import FCIBackend
+    from evcont_tpu.model import ContinuationModel
+
+    def h2(d):
+        return Molecule.build([("H", (0, 0, 0)), ("H", (0, 0, d))],
+                              basis="sto-3g")
+
+    be = FCIBackend()
+    for d in [1.2, 1.6]:
+        be.append_to_rdms(h2(d))
+    m_h = ContinuationModel.from_backend(h2(1.4), be, hermitian=True)
+    m_n = ContinuationModel.from_backend(h2(1.4), be, hermitian=False)
+    c = np.asarray(h2(1.35).coords)
+    e_h, f_h = m_h.potential_and_forces(c)
+    e_n, f_n = m_n.potential_and_forces(c)
+    assert abs(float(e_h) - float(e_n)) < 1e-9
+    np.testing.assert_allclose(np.array(f_h), np.array(f_n), atol=1e-8)
+    ens_n, _ = m_n.multistate(c, nroots=2)
+    ens_h, _ = m_h.multistate(c, nroots=2)
+    np.testing.assert_allclose(np.array(ens_n), np.array(ens_h), atol=1e-9)
+
+
+def test_model_uses_passed_overlap():
+    """The jitted paths must whiten the overlap they are passed, not the
+    init-time store (regression: stale self.whitening, ADVICE r1)."""
+    from evcont_tpu.molecule import Molecule
+    from evcont_tpu.backends.fci_backend import FCIBackend
+    from evcont_tpu.model import ContinuationModel
+
+    def h2(d):
+        return Molecule.build([("H", (0, 0, 0)), ("H", (0, 0, d))],
+                              basis="sto-3g")
+
+    be = FCIBackend()
+    for d in [1.2, 1.5, 1.8]:
+        be.append_to_rdms(h2(d))
+    model = ContinuationModel.from_backend(h2(1.4), be)
+    c = np.asarray(h2(1.33).coords)
+
+    # slice the store to the first 2 states and evaluate through the SAME
+    # model's jitted kernel with the sliced arrays
+    ov = be.overlap[:2, :2]
+    r1 = be.one_rdm[:2, :2]
+    r2 = be.two_rdm[:2, :2]
+    e_sliced = float(model._energy(jax.numpy.asarray(c), ov, r1, r2))
+
+    be2 = FCIBackend()
+    for d in [1.2, 1.5]:
+        be2.append_to_rdms(h2(d))
+    model2 = ContinuationModel.from_backend(h2(1.4), be2)
+    e_ref = float(model2.potential(c))
+    assert abs(e_sliced - e_ref) < 1e-10

@@ -152,3 +152,50 @@ def test_active_learning_resume(tmp_path):
         data_addition="farthest_point", workdir=wd, trn_times=trn_times)
     assert resumed.ntrain == n_final
     np.testing.assert_allclose(traj2, traj1, atol=1e-10)
+
+
+def test_subset_state_layouts():
+    """_subset_state must agree between full (Ntrn,Ntrn,...) and
+    pair-compressed layouts (regression: leave-one-out pruning mis-sliced
+    pair-compressed stores with np.ix_, ADVICE r1 medium)."""
+    from evcont_tpu.learn.active import _subset_state
+    from evcont_tpu.continuation import to_pair_layout
+    from evcont_tpu.oao import restore_exchange
+    import jax.numpy as jnp
+
+    backend = FCIBackend()
+    for d in [1.2, 1.5, 1.9]:
+        backend.append_to_rdms(h2(d))
+    ov, r1, r2 = backend.overlap, backend.one_rdm, backend.two_rdm
+    r1p, r2p = to_pair_layout(r1, r2)
+
+    keep = [0, 2]
+    ov_f, r1_f, r2_f = _subset_state(ov, r1, r2, keep)
+    ov_p, r1_p, r2_p = _subset_state(ov, r1p, r2p, keep)
+    np.testing.assert_allclose(ov_p, ov_f, atol=1e-14)
+
+    # pair-compressed subset must reproduce the full-layout subset
+    rows, cols = np.tril_indices(len(keep))
+    np.testing.assert_allclose(r1_p, r1_f[rows, cols], atol=1e-14)
+    norb = r1.shape[-1]
+    for k, (a, b) in enumerate(zip(rows, cols)):
+        dense = np.array(restore_exchange(jnp.asarray(r2_p[k]), norb))
+        np.testing.assert_allclose(dense, r2_f[a, b], atol=1e-12)
+
+
+def test_converge_with_pruning(tmp_path):
+    """End-to-end active learning with leave-one-out pruning enabled
+    (reference: MD_utils.py:279-305, 463-489)."""
+    from evcont_tpu.learn.active import converge_EVCont_MD
+
+    backend = FCIBackend()
+    traj = converge_EVCont_MD(
+        backend, h2(1.4), steps=10, dt=5.0, convergence_thresh=5e-3,
+        prune_irrelevant_data=True, data_addition="farthest_point",
+        max_iterations=4, workdir=str(tmp_path))
+    assert traj.shape == (10, 2, 3)
+    # pruning writes suffixed checkpoints trn_times_{i}.txt
+    tt_files = sorted(tmp_path.glob("trn_times_*.txt"),
+                      key=lambda p: int(p.stem.split("_")[-1]))
+    assert tt_files
+    assert backend.ntrain >= 1
