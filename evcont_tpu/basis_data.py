@@ -120,9 +120,44 @@ BASIS_SETS["cc-pvdz"] = {
     ],
 }
 
+BASIS_SETS["cc-pvtz"] = {
+    # Dunning correlation-consistent triple-zeta (Dunning, JCP 90, 1007
+    # (1989)): H (5s2p1d)/[3s2p1d], O (10s5p2d1f)/[4s3p2d1f]; spherical
+    # d/f components. Needed by the reference's vtz H2O workloads
+    # (scripts/MD/H2O/md_H2O_vtz_CAS_continuation.py:20-21). Anchored in
+    # tests/test_integrals.py against the literature H2O RHF energy and
+    # against a fully uncontracted-primitive variational bound.
+    "H": [
+        (0, [33.8700, 5.0950, 1.1590],
+            [0.0060680, 0.0453080, 0.2028220]),
+        (0, [0.3258], [1.0]),
+        (0, [0.1027], [1.0]),
+        (1, [1.4070], [1.0]),
+        (1, [0.3880], [1.0]),
+        (2, [1.0570], [1.0]),
+    ],
+    "O": [
+        (0, [15330.0, 2299.0, 522.4, 147.3, 47.55, 16.76, 6.207, 0.6882],
+            [0.0005080, 0.0039290, 0.0202430, 0.0791810, 0.2306870,
+             0.4331180, 0.3502600, -0.0081540]),
+        (0, [15330.0, 2299.0, 522.4, 147.3, 47.55, 16.76, 6.207, 0.6882],
+            [-0.0001150, -0.0008950, -0.0046360, -0.0187240, -0.0584630,
+             -0.1364630, -0.1757400, 0.6034180]),
+        (0, [1.7520], [1.0]),
+        (0, [0.2384], [1.0]),
+        (1, [34.46, 7.749, 2.280],
+            [0.0159280, 0.0997400, 0.3104920]),
+        (1, [0.7156], [1.0]),
+        (1, [0.2140], [1.0]),
+        (2, [2.314], [1.0]),
+        (2, [0.645], [1.0]),
+        (3, [1.428], [1.0]),
+    ],
+}
+
 # Aliases accepting pyscf-style capitalization
 _ALIASES = {"sto6g": "sto-6g", "sto3g": "sto-3g", "631g": "6-31g",
-            "ccpvdz": "cc-pvdz"}
+            "ccpvdz": "cc-pvdz", "ccpvtz": "cc-pvtz"}
 
 
 def get_element_basis(basis_name, symbol):

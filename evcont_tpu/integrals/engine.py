@@ -343,9 +343,14 @@ class IntegralEngine:
             })
         return data
 
-    def eri(self, coords):
+    def eri(self, coords, omega=None):
         """Two-electron repulsion integrals (ij|kl), chemist notation,
-        full (nao, nao, nao, nao) tensor.
+        full (nao, nao, nao, nao) tensor. With omega, the long-range
+        erf-attenuated integrals (ij|erf(omega r12)/r12|kl) used by
+        range-separated hybrids (CAM-B3LYP): the Coulomb kernel change
+        amounts to F_n(T) -> s^{n+1/2} F_n(sT) with s = w^2/(rho + w^2),
+        i.e. the same Hermite-R tensor at a scaled exponent parameter
+        times sqrt(s).
 
         8-fold permutation symmetry: quartets are enumerated over unordered
         bra/ket shell pairs and unordered (bra, ket) class combinations
@@ -362,6 +367,9 @@ class IntegralEngine:
                 same_class = ket is bra
                 p, q = bra["p"], ket["p"]
                 alpha = p[:, None] * q[None, :] / (p[:, None] + q[None, :])
+                if omega is not None:
+                    s_att = omega * omega / (alpha + omega * omega)
+                    alpha = alpha * s_att
                 L = bra["L"] + ket["L"]
                 PQ = bra["P"][:, None, :] - ket["P"][None, :, :]
                 Rd = hermite_R_dense(L, alpha, PQ)     # (n1, n2, L+1,L+1,L+1)
@@ -383,6 +391,8 @@ class IntegralEngine:
                         / (p[:, None] * q[None, :]
                            * jnp.sqrt(p[:, None] + q[None, :])))
                 pref = pref * bra["cc"][:, None] * ket["cc"][None, :]
+                if omega is not None:
+                    pref = pref * jnp.sqrt(s_att)
                 if same_class:
                     # the full n1 x n1 grid contains both (P1, P2) orders,
                     # which the (1 + T3) pass would double-count

@@ -1,17 +1,27 @@
-"""Restricted Kohn-Sham DFT (LDA and PBE) on a Becke grid.
+"""Restricted Kohn-Sham DFT (LDA, PBE, B3LYP, CAM-B3LYP) on a Becke grid.
 
 Replaces pyscf.dft's RKS for the reference's DFT baseline MDs
 (scripts/MD/H30/md_H30_DFT.py, scripts/MD/H2O-H3O+/md_H2O-H3O+_DFT.py,
-Zundel_DFT_PBE.py). Functionals:
-  * "lda"  Slater exchange + Perdew-Zunger 81 correlation
-  * "pbe"  PBE exchange (kappa = 0.804, mu = 0.2195...) + PBE correlation
-           on PW92 (closed shell, phi = 1)
+Zundel_thermodynamics/reference_dynamics/Zundel_DFT_{PBE,CAMB3LYP}.py).
+Functionals:
+  * "lda"       Slater exchange + Perdew-Zunger 81 correlation
+  * "pbe"       PBE exchange (kappa = 0.804, mu = 0.2195...) + PBE
+                correlation on PW92 (closed shell, phi = 1)
+  * "b3lyp"     0.20 HF + 0.08 LDA + 0.72 B88 exchange;
+                0.19 VWN5 + 0.81 LYP correlation
+  * "camb3lyp"  Coulomb-attenuated B3LYP (Yanai/Tew/Handy 2004):
+                alpha = 0.19, beta = 0.46, omega = 0.33 — HF exchange
+                alpha*K + beta*K_LR(omega) (long-range ERIs from
+                IntegralEngine.eri(omega=...)), B88 exchange attenuated
+                pointwise by 1 - alpha - beta*g(a) with the Iikura/Tawada
+                erf exchange-hole fraction g(a); 0.19 VWN5 + 0.81 LYP
+                correlation
+  * "hf"        no DFT XC, full exact exchange (RHF through the same SCF
+                loop; used to validate the hybrid machinery)
 
 Grid: Becke partitioning with Gauss-Chebyshev radial points and either a
 Gauss-Legendre product angular rule (default; overlap matrices reproduced
-to ~3e-8 on test molecules) or Lebedev 26/50 rules for speed. CAM-B3LYP
-(range-separated hybrid) is future work; LDA/PBE cover the reference's
-PBE baselines.
+to ~3e-8 on test molecules) or Lebedev 26/50 rules for speed.
 """
 
 from dataclasses import dataclass
@@ -54,6 +64,97 @@ def _eps_c_pw92(rs):
     return q0 * np.log1p(1.0 / np.maximum(q1, 1e-30))
 
 
+# VWN5 correlation parameters (paramagnetic fit, Vosko/Wilk/Nusair 1980)
+_VWN_A, _VWN_X0, _VWN_B, _VWN_C = 0.0310907, -0.10498, 3.72744, 12.9352
+
+# B88 exchange
+_B88_BETA = 0.0042
+# LYP correlation (Lee/Yang/Parr 1988, Miehlich et al. 1989 form)
+_LYP_A, _LYP_B, _LYP_C, _LYP_D = 0.04918, 0.132, 0.2533, 0.349
+_CF = 0.3 * (3.0 * np.pi ** 2) ** (2.0 / 3.0)
+
+# hybrid mixing: c_hf * K + c_lr * K_LR(omega) exact exchange
+_HYBRIDS = {
+    "b3lyp": dict(c_hf=0.20, c_lr=0.0, omega=0.0),
+    "camb3lyp": dict(c_hf=0.19, c_lr=0.46, omega=0.33),
+    "hf": dict(c_hf=1.0, c_lr=0.0, omega=0.0),
+}
+
+
+def _eps_c_vwn5(rs):
+    """VWN5 (paramagnetic) correlation energy per particle of the uniform
+    gas, in the RPA-fit x = sqrt(rs) parametrization."""
+    x = np.sqrt(rs)
+    X = x * x + _VWN_B * x + _VWN_C
+    X0 = _VWN_X0 * _VWN_X0 + _VWN_B * _VWN_X0 + _VWN_C
+    Q = np.sqrt(4.0 * _VWN_C - _VWN_B * _VWN_B)
+    atn = np.arctan(Q / (2.0 * x + _VWN_B))
+    return _VWN_A * (
+        np.log(x * x / X) + 2.0 * _VWN_B / Q * atn
+        - _VWN_B * _VWN_X0 / X0 * (
+            np.log((x - _VWN_X0) ** 2 / X)
+            + 2.0 * (_VWN_B + 2.0 * _VWN_X0) / Q * atn
+        )
+    )
+
+
+def _ex_b88_spin(rho_s, sigma_s):
+    """B88 exchange energy per volume for one spin channel (includes the
+    LDA part; beta = 0.0042 recovers pure Slater exchange for beta -> 0)."""
+    rho_s = np.maximum(rho_s, 1e-30)
+    r43 = rho_s ** (4.0 / 3.0)
+    x = np.sqrt(np.maximum(sigma_s, 0.0)) / r43
+    cx = 1.5 * (3.0 / (4.0 * np.pi)) ** (1.0 / 3.0)
+    corr = _B88_BETA * x * x / (1.0 + 6.0 * _B88_BETA * x * np.arcsinh(x))
+    return -r43 * (cx + corr)
+
+
+def _cam_lr_fraction(a):
+    """g(a): long-range (erf(omega r)) fraction of the model GGA exchange
+    hole (Iikura/Tawada/Yanai/Hirao 2001 eq. 6; CAM usage Yanai 2004).
+    g(0) = 0 (all exchange short-range), g(inf) = 1."""
+    a = np.maximum(a, 1e-12)
+    inv = 1.0 / (2.0 * a)
+    from scipy.special import erf
+    expo = np.exp(-np.minimum(inv * inv, 700.0))
+    b = expo - 1.0
+    c = 2.0 * a * a * b + 0.5
+    g = (8.0 / 3.0) * a * (np.sqrt(np.pi) * erf(inv) + 2.0 * a * (b - c))
+    # large-a: the closed form cancels catastrophically; asymptotic series
+    # g = 1 - 1/(36 a^2) + O(a^-4)
+    g = np.where(a > 8.0, 1.0 - 1.0 / (36.0 * a * a), g)
+    return np.clip(g, 0.0, 1.0)
+
+
+def _ec_lyp_closed(rho, sigma):
+    """LYP correlation energy per volume, closed shell (rho_a = rho_b =
+    rho/2, sigma_aa = sigma_bb = sigma_ab = sigma/4), Miehlich et al.
+    gradient-only form."""
+    rho = np.maximum(rho, 1e-30)
+    sigma = np.maximum(sigma, 0.0)
+    rm13 = rho ** (-1.0 / 3.0)
+    denom = 1.0 + _LYP_D * rm13
+    omega = np.exp(-_LYP_C * rm13) / denom * rho ** (-11.0 / 3.0)
+    delta = _LYP_C * rm13 + _LYP_D * rm13 / denom
+    ra = rb = 0.5 * rho
+    s_aa = s_bb = s_ab = 0.25 * sigma
+    rab = ra * rb
+    term1 = -4.0 * _LYP_A * rab / (rho * denom)
+    t = (
+        rab * (
+            2.0 ** (11.0 / 3.0) * _CF * (ra ** (8.0 / 3.0)
+                                         + rb ** (8.0 / 3.0))
+            + (47.0 / 18.0 - 7.0 * delta / 18.0) * sigma
+            - (2.5 - delta / 18.0) * (s_aa + s_bb)
+            - (delta - 11.0) / 9.0 * (ra * s_aa + rb * s_bb) / rho
+        )
+        - 2.0 / 3.0 * rho * rho * sigma
+        + (2.0 / 3.0 * rho * rho - ra * ra) * s_bb
+        + (2.0 / 3.0 * rho * rho - rb * rb) * s_aa
+    )
+    return term1 - _LYP_A * _LYP_B * omega * t
+
+
 def _xc_energy_density(rho, sigma, xc):
     """epsilon_xc(rho, |grad rho|^2) per particle; numpy, differentiated
     by finite perturbation for the potential (see _vxc)."""
@@ -62,6 +163,26 @@ def _xc_energy_density(rho, sigma, xc):
     ex = _eps_x_lda(rho)
     if xc == "lda":
         return ex + _eps_c_pz(rs)
+    if xc == "hf":
+        return np.zeros_like(rho)
+    if xc in ("b3lyp", "camb3lyp"):
+        ra, s_aa = 0.5 * rho, 0.25 * np.maximum(sigma, 0.0)
+        e_b88 = 2.0 * _ex_b88_spin(ra, s_aa)          # per volume, both spins
+        e_lyp = _ec_lyp_closed(rho, sigma)
+        if xc == "b3lyp":
+            # a0=0.20 HF handled via K matrices; DFT exchange:
+            # 0.08 LDA + 0.72 B88 (B88 includes its LDA part)
+            eps_x = 0.08 * ex + 0.72 * e_b88 / rho
+        else:
+            # CAM: attenuate the B88 exchange hole pointwise by
+            # 1 - alpha - beta*g(a); HF part alpha*K + beta*K_LR
+            alpha, beta, omega_rs = 0.19, 0.46, 0.33
+            K_s = -2.0 * (0.5 * e_b88) / ra ** (4.0 / 3.0)
+            a = omega_rs * np.sqrt(np.maximum(K_s, 1e-30)) \
+                / (6.0 * np.sqrt(np.pi) * ra ** (1.0 / 3.0))
+            eps_x = (1.0 - alpha - beta * _cam_lr_fraction(a)) * e_b88 / rho
+        eps_c = 0.19 * _eps_c_vwn5(rs) + 0.81 * e_lyp / rho
+        return eps_x + eps_c
     # PBE
     kf = (3.0 * np.pi ** 2 * rho) ** (1.0 / 3.0)
     grad = np.sqrt(np.maximum(sigma, 0.0))
@@ -81,20 +202,30 @@ def _xc_energy_density(rho, sigma, xc):
     return eps_x + eps_c0 + H
 
 
-def _exc_and_v(rho, sigma, xc, eps=1e-7):
+def _exc_and_v(rho, sigma, xc, eps=1e-7, rho_cutoff=1e-10):
     """E_xc density f = rho*eps and its derivatives (df/drho, df/dsigma)
-    by central differences (robust and plenty accurate on a DFT grid)."""
+    by central differences (robust and plenty accurate on a DFT grid).
+
+    Grid points with rho below rho_cutoff are screened out entirely — the
+    correlation functionals (LYP/VWN) have negative-power/log terms whose
+    finite differences blow up in the numerical noise of the density tails
+    (the same screening every production DFT code applies)."""
     def f(r, s):
         return r * _xc_energy_density(r, s, xc)
 
-    f0 = f(rho, sigma)
+    live = rho > rho_cutoff
+    f0 = np.where(live, f(rho, sigma), 0.0)
     dr = np.maximum(rho * 1e-6, 1e-12)
-    vrho = (f(rho + dr, sigma) - f(rho - dr, sigma)) / (2 * dr)
+    vrho = np.where(live,
+                    (f(rho + dr, sigma) - f(rho - dr, sigma)) / (2 * dr),
+                    0.0)
     if xc == "lda":
         vsigma = np.zeros_like(rho)
     else:
         ds = np.maximum(sigma * 1e-6, 1e-16)
-        vsigma = (f(rho, sigma + ds) - f(rho, sigma - ds)) / (2 * ds)
+        vsigma = np.where(
+            live,
+            (f(rho, sigma + ds) - f(rho, sigma - ds)) / (2 * ds), 0.0)
     return f0, vrho, vsigma
 
 
@@ -124,6 +255,13 @@ def rks(engine, coords=None, xc="pbe", n_rad=75, angular="product",
     nelec = mol.nelec
     assert nelec[0] == nelec[1], "RKS requires closed shell"
     nocc = nelec[0]
+
+    hyb = _HYBRIDS.get(xc, dict(c_hf=0.0, c_lr=0.0, omega=0.0))
+    g_lr = None
+    if hyb["c_lr"]:
+        import jax
+        g_lr = np.array(jax.jit(
+            lambda c: engine.eri(c, omega=hyb["omega"]))(coords))
 
     points, wts = molecular_grid(mol, n_rad=n_rad, angular=angular)
     phi, dphi = eval_aos(engine, points, deriv=True)
@@ -158,7 +296,14 @@ def rks(engine, coords=None, xc="pbe", n_rad=75, angular="product",
             t = np.einsum("n,nd,ndi,nj->ij", 2.0 * wts * vsigma, grad_rho,
                           dphi, phi, optimize=True)
             Vxc += t + t.T
-        F = h + J + Vxc
+        VK = 0.0
+        if hyb["c_hf"]:
+            VK = hyb["c_hf"] * np.einsum("kl,ikjl->ij", dm, g,
+                                         optimize=True)
+        if hyb["c_lr"]:
+            VK = VK + hyb["c_lr"] * np.einsum("kl,ikjl->ij", dm, g_lr,
+                                              optimize=True)
+        F = h + J + Vxc - 0.5 * VK
 
         err = F @ dm @ S - S @ dm @ F
         diis_F.append(F.copy())
@@ -182,8 +327,16 @@ def rks(engine, coords=None, xc="pbe", n_rad=75, angular="product",
                 pass
         mo_e, C = solve(F)
         dm = 2.0 * C[:, :nocc] @ C[:, :nocc].T
+        e_k = 0.0
+        if hyb["c_hf"]:
+            e_k += hyb["c_hf"] * np.einsum("ij,kl,ikjl->", dm, dm, g,
+                                           optimize=True)
+        if hyb["c_lr"]:
+            e_k += hyb["c_lr"] * np.einsum("ij,kl,ikjl->", dm, dm, g_lr,
+                                           optimize=True)
         e_elec = (np.sum(dm * h) + 0.5 * np.sum(
-            dm * np.einsum("ij,ijkl->kl", dm, g, optimize=True)) + exc)
+            dm * np.einsum("ij,ijkl->kl", dm, g, optimize=True))
+            - 0.25 * e_k + exc)
         if abs(e_elec - e_old) < conv_tol:
             converged = True
             break

@@ -22,10 +22,12 @@ def main(basis="sto-3g", steps=300, dt=5.0, convergence_thresh=1e-3,
          data_addition="farthest_point_ham", workdir=".",
          evaluate_accuracy=True, n_eval_frames=10,
          backend_type="fci", ncas=8, nelecas=4):
-    """backend_type="casci" with basis="cc-pvdz" reproduces the reference's
-    md_H2O_vdz_CAS_continuation.py configuration (CAS with ncas=8 active
+    """backend_type="casci" with basis="cc-pvdz" / "cc-pvtz" reproduces the
+    reference's md_H2O_vdz_CAS_continuation.py /
+    md_H2O_vtz_CAS_continuation.py configuration (CAS with ncas=8 active
     orbitals, 4 active electrons, cross-geometry t-RDMs via the
-    nonorthogonal Wick kernel)."""
+    nonorthogonal Wick kernel). The vtz RHF anchor (-76.057168) is pinned
+    in tests/test_integrals.py."""
     os.makedirs(workdir, exist_ok=True)
     mol = water(basis=basis)
     if backend_type == "casci":

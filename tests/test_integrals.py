@@ -169,3 +169,28 @@ def test_f_shell_machinery():
     e1 = sla.eigh(h, S, eigvals_only=True)
     e2 = sla.eigh(np.array(b2.hcore), np.array(b2.ovlp), eigvals_only=True)
     np.testing.assert_allclose(e1, e2, atol=1e-10)
+
+
+def test_h2_ccpvtz_rhf():
+    """cc-pVTZ H data (s/p/d shells): variationally below cc-pVDZ and
+    within 1 mHa of the H2 HF limit (-1.13363 at R=1.4)."""
+    mol = Molecule.build([("H", (0, 0, 0)), ("H", (0, 0, 1.4))],
+                         basis="cc-pvtz")
+    eng = IntegralEngine(mol)
+    assert eng.nao == 28
+    res = rhf_from_engine(eng)
+    assert res.converged
+    assert -1.13363 < res.e_tot < -1.13250, res.e_tot
+
+
+def test_h2o_ccpvtz_rhf_literature():
+    """cc-pVTZ O data incl. the f shell: literature RHF/cc-pVTZ at the
+    experimental geometry (reference vtz workloads,
+    scripts/MD/H2O/md_H2O_vtz_CAS_continuation.py:20-21). First compile of
+    the 58-AO integral graph is slow; cached persistently afterwards."""
+    mol = water("cc-pvtz")
+    eng = IntegralEngine(mol)
+    assert eng.nao == 58
+    res = rhf_from_engine(eng)
+    assert res.converged
+    assert abs(res.e_tot - (-76.0571685)) < 2e-5
