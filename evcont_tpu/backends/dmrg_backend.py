@@ -6,46 +6,64 @@ the Löwdin basis, pairwise t-RDMs between the stored states.
 
 This backend uses the framework's own MPS-DMRG (solvers/dmrg.py):
 Jordan-Wigner MPO compilation and two-site sweeps over the reference's
-bond-dimension ladder (converge_dmrg.py:15). Two t-RDM evaluation modes:
+bond-dimension ladder with the converge_dmrg schedule (noise decay 4^-i,
+per-rung DMRG_result_{tag}.txt logging, MPS restart) when a workdir is
+set. Two t-RDM evaluation modes:
   * trdm_method="dense" (default): extract the particle-number-resolved
     CI matrix from the converged MPS, so t-RDMs reduce to the same
     orthonormal CI algebra as the FCI backend (fast; ~12-orbital cap).
   * trdm_method="mps": MPS-native cross expectations
-    (mps_overlap / mps_transition_rdm12) — no orbital cap, exact, but the
-    unoptimized O(norb^4) full-chain contraction makes large systems slow
-    until the cached-environment sweeps land; production-scale DMRG data
-    can also enter through the external-solver file interface
-    (backends/trdm_ingest.py).
+    (mps_overlap / mps_transition_rdm12) via the batched cached-
+    environment sweep — no orbital cap (H30-scale t-RDMs in seconds);
+    production block2 data can also enter through the external-solver
+    file interface (backends/trdm_ingest.py).
 """
 
 import numpy as np
 
 from ..integrals.engine import IntegralEngine
 from ..oao import loewdin_trafo, transform_integrals
-from ..solvers.dmrg import (build_hamiltonian_mpo, dmrg_ground_state,
-                            mps_overlap, mps_to_ci, mps_transition_rdm12)
+from ..solvers.dmrg import (build_hamiltonian_mpo, converge_dmrg,
+                            dmrg_ground_state, mps_overlap, mps_to_ci,
+                            mps_transition_rdm12)
 from ..solvers.fci import FCISolver
 from .base import EVContBackend
 
 
+def reference_ladder(max_bond_dim=256):
+    """The reference's bond-dimension ladder round(1.8^(6..15)), capped:
+    34, 61, 110, 198, 357, ... (converge_dmrg.py:15)."""
+    full = np.round(1.8 ** np.arange(6, 16)).astype(int)
+    capped = [int(d) for d in full if d <= max_bond_dim]
+    return tuple(capped or [int(full[0])])
+
+
 class DMRGBackend(EVContBackend):
-    def __init__(self, bond_dims=(16, 32, 64), sweeps_per_dim=2,
-                 penalty=8.0, trdm_method="dense"):
+    def __init__(self, bond_dims=None, sweeps_per_dim=2,
+                 penalty=8.0, trdm_method="dense", max_bond_dim=256,
+                 workdir=None, tolerance=1.0e-4):
         """
         Args:
-            bond_dims: bond-dimension ladder (the reference's default is
-                ceil(1.8^k), converge_dmrg.py:15; config.DMRGScheduleConfig
-                generates it).
-            sweeps_per_dim: sweeps at each rung.
+            bond_dims: bond-dimension ladder; defaults to the reference's
+                round(1.8^k) ladder (converge_dmrg.py:15) capped at
+                max_bond_dim.
+            sweeps_per_dim: sweeps at each rung (workdir=None quick path).
             penalty: particle-number/Sz sector penalty strength.
             trdm_method: "dense" | "mps" (see module docstring).
+            workdir: when set, solves through the schedule-parity
+                converge_dmrg driver — per-rung noise decay, result
+                logging, MPS save/restart under this directory.
+            tolerance: converge_dmrg energy tolerance.
         """
         super().__init__()
-        self.bond_dims = tuple(bond_dims)
+        self.bond_dims = tuple(bond_dims) if bond_dims is not None \
+            else reference_ladder(max_bond_dim)
         self.sweeps_per_dim = sweeps_per_dim
         self.penalty = penalty
         assert trdm_method in ("dense", "mps")
         self.trdm_method = trdm_method
+        self.workdir = workdir
+        self.tolerance = tolerance
         self.civecs = []
         self.mps_states = []
         self._solver = None
@@ -67,11 +85,23 @@ class DMRGBackend(EVContBackend):
         norb = engine.nao
         na, nb = mol.nelec
 
-        W = build_hamiltonian_mpo(h1, h2)
-        e, mps = dmrg_ground_state(
-            W, 2 * norb, na + nb, sz=0.5 * (na - nb),
-            bond_dims=self.bond_dims, sweeps_per_dim=self.sweeps_per_dim,
-            penalty=self.penalty)
+        if self.workdir is not None:
+            # schedule-parity path: noise decay, per-rung logging, restart
+            tag = f"state_{len(self.ens)}"
+            mps, e = converge_dmrg(
+                h1, h2, (na, nb), tag,
+                bond_dim_schedule=np.array(list(self.bond_dims)
+                                           + [self.bond_dims[-1]]),
+                tolerance=self.tolerance, restart_tag=tag,
+                workdir=self.workdir, penalty=self.penalty)
+        else:
+            from ..solvers.dmrg import build_hamiltonian_mpo_fast
+            W = build_hamiltonian_mpo_fast(
+                h1, h2, cutoff=1e-12 if norb <= 10 else 1e-9)
+            e, mps = dmrg_ground_state(
+                W, 2 * norb, na + nb, sz=0.5 * (na - nb),
+                bond_dims=self.bond_dims,
+                sweeps_per_dim=self.sweeps_per_dim, penalty=self.penalty)
         self.ens.append(e + float(bundle.enuc))
         self.mol_index.append(
             0 if not self.mol_index else max(self.mol_index) + 1)

@@ -50,6 +50,10 @@ class DMRGScheduleConfig:
     noise_decay: float = 0.25
     max_sweeps_per_rung: int = 1000
     energy_tol: float = 1e-4
+    # ladder cap for the in-framework host DMRG (the reference ladder runs
+    # to 6,747 for block2 on a 100 GB cluster node, converge_dmrg.py:15;
+    # uncapped rungs beyond this are for external-solver ingest jobs)
+    max_bond_dim: int = 256
 
     def bond_dims(self):
         return [round(self.bond_dim_base ** k)
@@ -131,8 +135,11 @@ class RunConfig:
             return CASCIBackend(ncas=s.ncas, nelecas=s.nelecas)
         if s.backend == "dmrg":
             from .backends.dmrg_backend import DMRGBackend
-            ladder = [d for d in self.dmrg.bond_dims() if d <= 128] or [32]
-            return DMRGBackend(bond_dims=tuple(ladder))
+            ladder = [d for d in self.dmrg.bond_dims()
+                      if d <= self.dmrg.max_bond_dim] or [32]
+            return DMRGBackend(bond_dims=tuple(ladder),
+                               workdir=self.workdir,
+                               tolerance=self.dmrg.energy_tol)
         if s.backend == "ingest":
             from .backends.trdm_ingest import TRDMIngestBackend
             return TRDMIngestBackend()

@@ -25,6 +25,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .continuation import (
     approximate_ground_state,
@@ -170,6 +171,60 @@ class ContinuationModel:
         """(E, subspace vector, predicted 1-RDM, predicted 2-RDM in OAO)."""
         return self._state(jnp.asarray(coords), self.overlap, self.one_rdm,
                            self.two_rdm)
+
+    # -- compensated-precision path (f32 TPU hardware, see
+    #    subspace/compensated.py for the error model) -----------------------
+    def enable_compensated(self, store_f64_one_rdm=None,
+                           store_f64_two_rdm=None):
+        """Prepare double-f32 split stores for potential_compensated().
+
+        Pass the original f64 arrays when available (full or
+        pair-compressed layouts); defaults to the model's own store (which
+        may already have been rounded to f32 — the split then only fixes
+        accumulation, not representation)."""
+        from .continuation import to_pair_layout
+        from .subspace.compensated import split_two_float
+
+        r1 = np.asarray(store_f64_one_rdm if store_f64_one_rdm is not None
+                        else self.one_rdm, dtype=np.float64)
+        r2 = np.asarray(store_f64_two_rdm if store_f64_two_rdm is not None
+                        else self.two_rdm, dtype=np.float64)
+        if r1.ndim == 4:
+            r1, r2 = to_pair_layout(r1, r2)
+        self._comp_r1 = tuple(jnp.asarray(a) for a in split_two_float(r1))
+        self._comp_r2 = tuple(jnp.asarray(a) for a in split_two_float(r2))
+        return self
+
+    @partial(jax.jit, static_argnums=0)
+    def _energy_compensated(self, coords, r1_hi, r1_lo, r2_hi, r2_lo,
+                            overlap):
+        from .oao import compress_exchange
+        from .continuation import _unpack_pairs
+        from .subspace.compensated import (compensated_pair_assembly,
+                                           rayleigh_refined_ground_state)
+
+        h1, h2, enuc = oao_integrals(self.engine, coords)
+        h2c = compress_exchange(h2, diag_multiplier=0.5)
+        H_hi, H_lo = compensated_pair_assembly(
+            r1_hi, r1_lo, r2_hi, r2_lo, h1, h2c, mode="exact")
+        ntrain = overlap.shape[0]
+        Hfull_hi = _unpack_pairs(H_hi, ntrain, H_hi.dtype)
+        Hfull_lo = _unpack_pairs(H_lo, ntrain, H_lo.dtype)
+        X = whitening_matrix(overlap)
+        A = X.T @ Hfull_hi @ X
+        w, Y = jnp.linalg.eigh(0.5 * (A + A.T))
+        vec = (X @ Y)[:, 0]
+        en = rayleigh_refined_ground_state(Hfull_hi, Hfull_lo, overlap, vec)
+        return en + enuc
+
+    def potential_compensated(self, coords):
+        """Ground-state energy through the compensated f32 assembly +
+        Rayleigh-refined GEP (call enable_compensated() first)."""
+        if not hasattr(self, "_comp_r1"):
+            self.enable_compensated()
+        return self._energy_compensated(
+            jnp.asarray(coords), *self._comp_r1, *self._comp_r2,
+            self.overlap)
 
     # convenience for the MD / active-learning drivers
     def energy_fn(self):

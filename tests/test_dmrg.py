@@ -172,3 +172,100 @@ def test_mps_cross_rdm2_and_backend_mode():
         e1 = float(m1.potential(h4(d).coords))
         e2 = float(m2.potential(h4(d).coords))
         assert abs(e1 - e2) < 1e-7
+
+
+def test_sweep_trdm_matches_strings_oracle():
+    """Batched cached-environment t-RDM sweep == exact string contraction
+    on random MPSes (exercises every operator pattern: all site orders,
+    fused same-site composites, JW parity)."""
+    from evcont_tpu.solvers.dmrg import (mps_transition_rdm12,
+                                         mps_transition_rdm12_strings)
+    rng = np.random.default_rng(11)
+
+    def rand_mps(n, m):
+        mps, D = [], 1
+        for i in range(n):
+            Dn = 1 if i == n - 1 else min(m, 2 ** (min(i + 1, n - 1 - i) + 2))
+            mps.append(rng.standard_normal((D, 2, Dn)) * 0.5)
+            D = Dn
+        return mps
+
+    for norb in (3, 4, 5):
+        A, B = rand_mps(2 * norb, 8), rand_mps(2 * norb, 8)
+        r1s, r2s = mps_transition_rdm12_strings(A, B, norb)
+        r1f, r2f = mps_transition_rdm12(A, B, norb, method="sweep")
+        scale = max(np.abs(r2s).max(), 1.0)
+        assert np.abs(r1f - r1s).max() / scale < 1e-12
+        assert np.abs(r2f - r2s).max() / scale < 1e-12
+
+
+def test_converge_dmrg_schedule_parity(tmp_path):
+    """converge_dmrg reproduces the reference's control flow
+    (converge_dmrg.py:10-107): per-rung noise 4^-i decay, result rows
+    (bond_dim, energy, dw, noise) in DMRG_result_{tag}.txt, energy-tol
+    early stop, and MPS save/restart."""
+    from evcont_tpu.solvers.dmrg import converge_dmrg, mps_overlap
+
+    h1, h2 = _ints(4, 1.8)
+    ladder = np.array([8, 16, 32, 64])
+    noises = np.append(np.logspace(-2, -7, num=4), 0)
+    mps, e = converge_dmrg(h1, h2, (2, 2), "t0",
+                           bond_dim_schedule=ladder, noises=noises,
+                           tolerance=1e-6, workdir=str(tmp_path))
+    # exact reference energy
+    from evcont_tpu.solvers.fci import FCISolver
+    ef, _ = FCISolver(4, 4, spin=None).kernel(h1, h2)
+    assert abs(e - ef) < 1e-5
+
+    log = np.loadtxt(tmp_path / "DMRG_result_t0.txt")
+    log = np.atleast_2d(log)
+    assert log.shape[1] == 4                        # bd, E, dw, noise
+    # first rung's first sweep carries the undecayed first noise
+    assert abs(log[0, 3] - 1e-2) < 1e-12
+    assert int(log[0, 0]) == 8
+    # rungs only from the ladder (last entry excluded, reference loop bound)
+    assert set(log[:, 0].astype(int)) <= {8, 16, 32}
+    # noise decays 4^-i between rungs: rung of bd=16 starts at 1e-2/4
+    rows16 = log[log[:, 0] == 16]
+    if len(rows16):
+        assert abs(rows16[0, 3] - 1e-2 / 4) < 1e-12
+
+    # restart: loads the saved MPS and converges immediately
+    assert (tmp_path / "t0-mps.npz").exists()
+    mps2, e2 = converge_dmrg(h1, h2, (2, 2), "t0b",
+                             bond_dim_schedule=ladder, noises=0 * noises,
+                             tolerance=1e-6, restart_tag="t0",
+                             workdir=str(tmp_path))
+    assert abs(e2 - e) < 1e-6
+    assert abs(abs(mps_overlap(mps, mps2)) - 1.0) < 1e-6
+
+
+def test_dmrg_backend_schedule_workdir(tmp_path):
+    """DMRGBackend(workdir=...) routes through converge_dmrg: per-state
+    logs and restartable MPS files appear, energies match FCI."""
+    from evcont_tpu.backends.dmrg_backend import DMRGBackend
+    from evcont_tpu.backends.fci_backend import FCIBackend
+
+    def h4(d):
+        return Molecule.build([("H", (0, 0, d * i)) for i in range(4)],
+                              basis="sto-3g")
+
+    bd = DMRGBackend(bond_dims=(16, 32), workdir=str(tmp_path),
+                     tolerance=1e-7)
+    bf = FCIBackend()
+    for d in [1.5]:
+        bd.append_to_rdms(h4(d))
+        bf.append_to_rdms(h4(d))
+    np.testing.assert_allclose(bd.ens, bf.ens, atol=1e-6)
+    assert (tmp_path / "DMRG_result_state_0.txt").exists()
+    assert (tmp_path / "state_0-mps.npz").exists()
+
+
+def test_reference_ladder():
+    from evcont_tpu.backends.dmrg_backend import reference_ladder
+    lad = reference_ladder(256)
+    assert lad[0] == 34                  # round(1.8^6)
+    assert all(a < b for a, b in zip(lad, lad[1:]))
+    assert max(lad) <= 256
+    full = reference_ladder(10 ** 9)
+    assert full[-1] == 6747              # round(1.8^15)
