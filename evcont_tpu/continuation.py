@@ -50,12 +50,16 @@ GEP_CUTOFF = 1.0e-12
 # ---------------------------------------------------------------------------
 # subspace Hamiltonian assembly
 # ---------------------------------------------------------------------------
-def assemble_hamiltonian(h1, h2, one_rdm, two_rdm):
+def assemble_hamiltonian(h1, h2, one_rdm, two_rdm, two_body_backend="xla"):
     """H[a,b] = sum_ij gamma[a,b,i,j] h1[ij] + 1/2 sum Gamma[a,b,ijkl] h2[ijkl]
     for any of the four storage layouts. Returns the full symmetric matrix
     (the reference leaves the upper triangle unset for pair-compressed
     layouts because scipy's eigh only reads the lower triangle; here the
-    whitened solve consumes the full matrix)."""
+    whitened solve consumes the full matrix).
+
+    two_body_backend selects the packed-store contraction kernel for the
+    fully-compressed (2-d) layout: "xla" einsum or the "pallas" blocked
+    streaming kernel (subspace/pallas_assembly.py)."""
     if one_rdm.ndim == 3:
         # pair-compressed one-body store (Npair, n, n) — the sharded layout
         npair = one_rdm.shape[0]
@@ -77,7 +81,11 @@ def assemble_hamiltonian(h1, h2, one_rdm, two_rdm):
         H = H + jnp.einsum("abp,p->ab", two_rdm, h2c)
     elif ndim == 2:
         h2c = compress_exchange(h2, diag_multiplier=0.5)
-        Htwo = two_rdm @ h2c
+        if two_body_backend == "pallas":
+            from .subspace.pallas_assembly import assemble_two_body
+            Htwo = assemble_two_body(two_rdm, h2c, backend="pallas")
+        else:
+            Htwo = two_rdm @ h2c
         H = H + _unpack_pairs(Htwo, ntrain, H.dtype)
     else:
         raise ValueError(f"unsupported two_rdm rank {ndim}")
@@ -228,14 +236,15 @@ def _lowest_states_nonhermitian_jvp(nroots, primals, tangents):
 
 
 def approximate_ground_state(h1, h2, one_rdm, two_rdm, S, hermitian=True,
-                             whitening=None):
+                             whitening=None, two_body_backend="xla"):
     """Subspace ground-state energy and eigenvector (electronic part only).
 
     Reference: approximate_ground_state
     (ab_initio_eigenvector_continuation.py:12-90). Pass a precomputed
     whitening (whitening_matrix(S)) to skip the per-call diagonalization of
     the geometry-independent training overlap."""
-    H = assemble_hamiltonian(h1, h2, one_rdm, two_rdm)
+    H = assemble_hamiltonian(h1, h2, one_rdm, two_rdm,
+                             two_body_backend=two_body_backend)
     if not hermitian:
         E, V = lowest_states_nonhermitian(H, S, 1)
         return E[0], V[0]

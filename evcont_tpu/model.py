@@ -47,9 +47,12 @@ class ContinuationModel:
     """
 
     def __init__(self, mol: Molecule, overlap, one_rdm, two_rdm,
-                 hermitian=True):
+                 hermitian=True, assembly_backend="xla"):
         self.mol = mol
         self.engine = IntegralEngine(mol)
+        # packed two-body contraction kernel for 2-d stores:
+        # "xla" | "pallas" (subspace/pallas_assembly.py)
+        self.assembly_backend = assembly_backend
         self.overlap = jnp.asarray(overlap)
         self.one_rdm = jnp.asarray(one_rdm)
         self.two_rdm = jnp.asarray(two_rdm)
@@ -82,8 +85,9 @@ class ContinuationModel:
 
     def _energy_raw(self, coords, overlap, one_rdm, two_rdm):
         h1, h2, enuc = oao_integrals(self.engine, coords)
-        en, _ = approximate_ground_state(h1, h2, one_rdm, two_rdm, overlap,
-                                         hermitian=self.hermitian)
+        en, _ = approximate_ground_state(
+            h1, h2, one_rdm, two_rdm, overlap, hermitian=self.hermitian,
+            two_body_backend=self.assembly_backend)
         return en + enuc
 
     @partial(jax.jit, static_argnums=0)
@@ -179,12 +183,19 @@ class ContinuationModel:
         """Prepare double-f32 split stores for potential_compensated().
 
         Pass the original f64 arrays when available (full or
-        pair-compressed layouts); defaults to the model's own store (which
-        may already have been rounded to f32 — the split then only fixes
-        accumulation, not representation)."""
+        pair-compressed layouts). Without them, the model's own store is
+        used: if it is already f32 AND pair-compressed, its values are
+        taken as exact (lo = None — no host fetch, no extra HBM), so the
+        compensation fixes accumulation error only."""
         from .continuation import to_pair_layout
         from .subspace.compensated import split_two_float
 
+        if store_f64_one_rdm is None and store_f64_two_rdm is None \
+                and self.one_rdm.dtype == jnp.float32 \
+                and self.one_rdm.ndim == 3:
+            self._comp_r1 = (self.one_rdm, None)
+            self._comp_r2 = (self.two_rdm, None)
+            return self
         r1 = np.asarray(store_f64_one_rdm if store_f64_one_rdm is not None
                         else self.one_rdm, dtype=np.float64)
         r2 = np.asarray(store_f64_two_rdm if store_f64_two_rdm is not None

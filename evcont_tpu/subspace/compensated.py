@@ -105,15 +105,20 @@ def compensated_matvec(A_hi, A_lo, x_hi, x_lo, chunk=128):
             jnp.pad(a, ((0, 0), (0, pad)))
 
     Ah = padk(A_hi).reshape(M, nchunk, chunk)
-    Al = padk(A_lo).reshape(M, nchunk, chunk)
+    Al = None if A_lo is None else padk(A_lo).reshape(M, nchunk, chunk)
     xh = padk(x_hi).reshape(nchunk, chunk)
-    xl = padk(x_lo).reshape(nchunk, chunk)
+    xl = None if x_lo is None else padk(x_lo).reshape(nchunk, chunk)
 
-    # per-chunk partial sums: leading product + both cross terms
+    # per-chunk partial sums: leading product + the nonzero cross terms
+    # (lo=None marks an operand whose f64 value is exactly f32)
     lead = jnp.einsum("mck,ck->mc", Ah, xh)
-    cross = jnp.einsum("mck,ck->mc", Ah, xl) \
-        + jnp.einsum("mck,ck->mc", Al, xh)
-    parts = jnp.concatenate([lead, cross], axis=1)
+    cross = 0.0
+    if xl is not None:
+        cross = cross + jnp.einsum("mck,ck->mc", Ah, xl)
+    if Al is not None:
+        cross = cross + jnp.einsum("mck,ck->mc", Al, xh)
+    parts = lead if isinstance(cross, float) else \
+        jnp.concatenate([lead, cross], axis=1)
     return _twofloat_tree_sum(parts, jnp.zeros_like(parts))
 
 
@@ -148,11 +153,12 @@ def exact_matvec(A_hi, A_lo, x_hi, x_lo, kblock=16384):
     acc_lo = jnp.zeros(M, dtype=jnp.float32)
     for start in range(0, K, kblock):
         Ah = A_hi[:, start:start + kblock]
-        Al = A_lo[:, start:start + kblock]
         xh = x_hi[start:start + kblock]
-        xl = x_lo[start:start + kblock]
         p, e = two_prod(Ah, xh[None, :])
-        e = e + Ah * xl[None, :] + Al * xh[None, :]
+        if x_lo is not None:
+            e = e + Ah * x_lo[start:start + kblock][None, :]
+        if A_lo is not None:
+            e = e + A_lo[:, start:start + kblock] * xh[None, :]
         b_hi, b_lo = _twofloat_tree_sum(p, e)
         s, e2 = two_sum(acc_hi, b_hi)
         acc_hi, acc_lo = two_sum(s, e2 + acc_lo + b_lo)
@@ -176,14 +182,14 @@ def compensated_pair_assembly(r1_hi, r1_lo, r2_hi, r2_lo, h1, h2c,
 
     def as_pair(x):
         if isinstance(x, tuple):
-            return x[0].reshape(-1), x[1].reshape(-1)
-        x = x.reshape(-1)
-        return x, jnp.zeros_like(x)
+            lo = x[1].reshape(-1) if x[1] is not None else None
+            return x[0].reshape(-1), lo
+        return x.reshape(-1), None
 
     h1h, h1l = as_pair(h1)
     h2h, h2l = as_pair(h2c)
-    oh, ol = mv(r1_hi.reshape(npair, -1), r1_lo.reshape(npair, -1),
-                h1h, h1l, **kw)
+    r1l = r1_lo.reshape(npair, -1) if r1_lo is not None else None
+    oh, ol = mv(r1_hi.reshape(npair, -1), r1l, h1h, h1l, **kw)
     th, tl = mv(r2_hi, r2_lo, h2h, h2l, **kw)
     s_hi, e = two_sum(oh, th)
     return s_hi, e + ol + tl

@@ -65,9 +65,49 @@ def pallas_assembly_matvec(two_rdm_packed, h2c, interpret=False):
     return out[:P, 0]
 
 
+def pallas_assembly_matmat(two_rdm_packed, h2c_batch, interpret=False):
+    """H_two = two_rdm_packed @ h2c_batch for a batch of geometries'
+    integrals: (Npair, K) @ (K, B) -> (Npair, B), same blocked streaming
+    kernel with the batch riding along the output lanes."""
+    P, K = two_rdm_packed.shape
+    B = h2c_batch.shape[1]
+    Pp = -(-P // BLOCK_P) * BLOCK_P
+    Kp = -(-K // BLOCK_K) * BLOCK_K
+    Bp = -(-B // 8) * 8
+    A = jnp.pad(two_rdm_packed, ((0, Pp - P), (0, Kp - K)))
+    x = jnp.pad(h2c_batch, ((0, Kp - K), (0, Bp - B)))
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(Pp // BLOCK_P, Kp // BLOCK_K),
+        in_specs=[
+            pl.BlockSpec((BLOCK_P, BLOCK_K), lambda i, k: (i, k)),
+            pl.BlockSpec((BLOCK_K, Bp), lambda i, k: (k, 0)),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_P, Bp), lambda i, k: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Pp, Bp), two_rdm_packed.dtype),
+        interpret=interpret,
+    )(A, x)
+    return out[:P, :B]
+
+
 def assemble_two_body(two_rdm_packed, h2c, backend="xla", interpret=False):
-    """Packed two-body assembly with selectable backend."""
+    """Packed two-body assembly with selectable backend. Differentiable
+    w.r.t. h2c on the pallas path (custom VJP; the store is training data
+    and carries no gradient)."""
     if backend == "pallas":
-        return pallas_assembly_matvec(two_rdm_packed, h2c,
-                                      interpret=interpret)
+        A = jax.lax.stop_gradient(two_rdm_packed)
+
+        @jax.custom_vjp
+        def mv(x):
+            return pallas_assembly_matvec(A, x, interpret=interpret)
+
+        def fwd(x):
+            return mv(x), None
+
+        def bwd(_, ybar):
+            return (A.T @ ybar,)
+
+        mv.defvjp(fwd, bwd)
+        return mv(h2c)
     return two_rdm_packed @ h2c
