@@ -10,18 +10,23 @@ partial dot products in the output block; Pallas' pipelined BlockSpec
 machinery overlaps the HBM->VMEM streaming of the next tile with the MXU
 work on the current one (the double-buffering pattern).
 
-Opt-in: `assemble_two_body(..., backend="pallas")`; the XLA einsum path
-remains the default (it already performs well at current sizes — this
-kernel is the scaling lever for stores that outgrow simple fusion, and is
-validated against the einsum path in interpret mode on CPU).
+Opt-in: `assemble_two_body(..., backend="pallas")` or
+`ContinuationModel(assembly_backend="pallas")`; the XLA path remains the
+default. Real-chip A/B at the Zundel flagship store (3,570 x 307,720 f32,
+4.1 GiB; v5e, 2026-08-16, tpu_ab_pallas.py): XLA matvec/matmat 34 ms vs
+this kernel 147 ms at the original (8, 1024) blocks and 51 ms at the
+(256, 4096) blocks below — XLA's GEMM wins; the kernel is kept as the
+baseline for future fused-assembly work (e.g. folding the pair-unpack or
+exchange-compression into the stream) and is validated against the einsum
+path in interpret mode on CPU and end to end through the model.
 """
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-BLOCK_P = 8        # pair-block (f32 sublane)
-BLOCK_K = 1024     # packed-orbital block (lane multiples)
+BLOCK_P = 256      # pair-block
+BLOCK_K = 4096     # packed-orbital block (lane multiples)
 
 
 def _kernel(two_rdm_ref, h2c_ref, out_ref):

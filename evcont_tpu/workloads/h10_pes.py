@@ -26,6 +26,62 @@ from ..solvers.scf import rhf_from_engine
 from .common import h_chain
 
 
+def hf_energy_and_force(eng, coords):
+    """RHF energy and ANALYTIC force: SCF stationarity makes the gradient
+    of the HF energy functional at fixed OAO density exact, with the Pulay
+    terms carried by the autodiffed OAO-integral transform (the TPU-native
+    equivalent of pyscf's RHF nuc_grad_method)."""
+    import jax
+    import jax.numpy as jnp
+    from ..continuation import oao_integrals
+
+    coords = np.asarray(coords)
+    res = rhf_from_engine(eng, coords=coords)
+    b = eng.compute_jit(coords)
+    S = np.array(b.ovlp)
+    w, U = np.linalg.eigh(S)
+    S_half = (U * np.sqrt(w)) @ U.T
+    D = jnp.asarray(S_half @ res.dm @ S_half)   # density in the OAO basis
+
+    def e_fn(c):
+        h1, h2, enuc = oao_integrals(eng, c)
+        J = jnp.einsum("ij,ijkl->kl", D, h2)
+        K = jnp.einsum("kl,ikjl->ij", D, h2)
+        return jnp.sum(D * h1) + 0.5 * jnp.sum(D * J) \
+            - 0.25 * jnp.sum(D * K) + enuc
+
+    e, g = jax.value_and_grad(e_fn)(jnp.asarray(coords))
+    return float(e), -np.array(g)
+
+
+def fci_energy_and_force(eng, solver, coords):
+    """FCI energy and ANALYTIC force via the generalized Hellmann-Feynman
+    expression at the converged FCI RDMs (exact by CI variational
+    stationarity — full-space FCI is invariant under the OAO orbital
+    response). This replaces the round-1 finite-difference check and
+    matches the reference's CASCI(10,10).nuc_grad_method() oracle
+    (H10_continuation_3D_replacements.py:161)."""
+    import jax
+    import jax.numpy as jnp
+    from ..continuation import oao_integrals
+
+    coords = np.asarray(coords)
+    b = eng.compute_jit(coords)
+    trafo = np.array(loewdin_trafo(b.ovlp))
+    h1, h2 = transform_integrals(np.array(b.hcore), np.array(b.eri), trafo)
+    e_elec, civec = solver.kernel(np.array(h1), np.array(h2))
+    rdm1, rdm2 = solver.trans_rdm12(civec, civec)
+    rdm1, rdm2 = jnp.asarray(rdm1), jnp.asarray(rdm2)
+
+    def e_fn(c):
+        h1c, h2c, enuc = oao_integrals(eng, c)
+        return jnp.sum(rdm1 * h1c) \
+            + 0.5 * jnp.einsum("pqrs,pqrs->", rdm2, h2c) + enuc
+
+    e, g = jax.value_and_grad(e_fn)(jnp.asarray(coords))
+    return float(e), -np.array(g)
+
+
 def main(n_atoms=10, basis="sto-6g", equilibrium_dist=1.78596,
          train_stretches=(0.0, 0.5, -0.5, 1.0, -1.0),
          n_test=50, n_exact=10, displacement=0.1, seed=0, workdir=".",
@@ -77,45 +133,46 @@ def main(n_atoms=10, basis="sto-6g", equilibrium_dist=1.78596,
     forces = np.concatenate(forces)
     np.savetxt(os.path.join(workdir, "continuation_en.txt"), ens)
 
-    # HF baseline (energies; forces by finite difference would defeat the
-    # point — the reference compares RHF analytic forces, provided here by
-    # autodiff through the RHF energy functional is future work)
-    hf_ens = []
+    # HF baseline: energies AND analytic forces. The SCF solution is
+    # stationary w.r.t. orbital rotations, so the gradient of the HF
+    # energy functional at FIXED density matrix in the (orthonormal at
+    # every R) OAO basis is the exact analytic RHF force; the Pulay terms
+    # live inside the autodiffed OAO-integral transform (reference: pyscf
+    # nuc_grad_method, H10_continuation_3D_replacements.py:156).
+    eng = IntegralEngine(base)
+    hf_ens, hf_forces = [], []
     for c in tests:
-        res = rhf_from_engine(IntegralEngine(base), coords=c)
-        hf_ens.append(res.e_tot)
+        e, f = hf_energy_and_force(eng, c)
+        hf_ens.append(e)
+        hf_forces.append(f)
+    hf_forces = np.stack(hf_forces)
     np.savetxt(os.path.join(workdir, "HF_en.txt"), np.array(hf_ens))
 
-    # exact FCI reference + force errors for the first n_exact geometries
+    # exact FCI reference: energies AND analytic forces (generalized
+    # Hellmann-Feynman at the converged FCI RDMs — exact by CI variational
+    # stationarity; reference uses CASCI(10,10).nuc_grad_method(),
+    # H10_continuation_3D_replacements.py:161)
     solver = FCISolver(n_atoms, base.nelec)
-    eng = IntegralEngine(base)
-    ref_ens = []
-    force_err = []
-    eps = 1e-4
-    for c in tests[:n_exact]:
-        def fci_at(coords):
-            b = eng.compute_jit(coords)
-            trafo = np.array(loewdin_trafo(b.ovlp))
-            h1, h2 = transform_integrals(np.array(b.hcore),
-                                         np.array(b.eri), trafo)
-            e, _ = solver.kernel(np.array(h1), np.array(h2))
-            return e + float(b.enuc)
+    ref_ens, ref_forces, force_err = [], [], []
+    for idx, c in enumerate(tests[:n_exact]):
+        e, f = fci_energy_and_force(eng, solver, c)
+        ref_ens.append(e)
+        ref_forces.append(f)
+        force_err.append(np.abs(forces[idx] - f).max())
 
-        ref_ens.append(fci_at(c))
-        # exact force along one random direction via central difference of
-        # the FCI energy, compared to the continuation force
-        direction = rng.standard_normal(c.shape)
-        direction /= np.linalg.norm(direction)
-        fplus = fci_at(c + eps * direction)
-        fminus = fci_at(c - eps * direction)
-        f_exact_proj = -(fplus - fminus) / (2 * eps)
-        idx = len(ref_ens) - 1
-        f_cont_proj = np.sum(forces[idx] * direction)
-        force_err.append(abs(f_cont_proj - f_exact_proj))
-
+    ref_forces = np.stack(ref_forces) if ref_forces else \
+        np.zeros((0,) + eq.shape)
     np.savetxt(os.path.join(workdir, "reference_en.txt"), np.array(ref_ens))
     np.savetxt(os.path.join(workdir, "continuation_force_error.txt"),
                np.array(force_err))
+    # reference artifact schema (per-geometry gradient rows)
+    rtag = f"{displacement}"
+    np.savetxt(os.path.join(workdir, f"H10_continuation_gradients_{rtag}.txt"),
+               -forces[:n_exact].reshape(n_exact, -1))
+    np.savetxt(os.path.join(workdir, f"H10_FCI_gradients_{rtag}.txt"),
+               -ref_forces.reshape(len(ref_ens), -1))
+    np.savetxt(os.path.join(workdir, f"H10_HF_gradients_{rtag}.txt"),
+               -hf_forces[:n_exact].reshape(n_exact, -1))
 
     if gap_baseline:
         # GAP/SOAP machine-learning baseline trained on the same points
@@ -127,9 +184,24 @@ def main(n_atoms=10, basis="sto-6g", equilibrium_dist=1.78596,
         gap_ens = np.array([gap.predict(c) for c in tests])
         np.savetxt(os.path.join(workdir, "GAP_en.txt"), gap_ens)
 
+    # reference combined table: FCI  HF  Continuation  GAP
+    # (H10_continuation_3D_replacements.py:120-123)
+    gap_col = gap_ens[:n_exact] if gap_baseline else \
+        np.zeros(len(ref_ens))
+    np.savetxt(
+        os.path.join(workdir, f"H10_predicted_energies_{rtag}.txt"),
+        np.column_stack([np.array(ref_ens), np.array(hf_ens)[:n_exact],
+                         ens[:n_exact], gap_col]))
+
     en_err = np.abs(ens[:n_exact] - np.array(ref_ens))
-    print(f"energy MAE vs FCI ({n_exact} pts): {en_err.mean():.3e} Ha; "
-          f"projected-force MAE: {np.mean(force_err):.3e} Ha/Bohr")
+    hf_err = np.abs(np.array(hf_ens)[:n_exact] - np.array(ref_ens))
+    f_err_hf = np.abs(hf_forces[:n_exact] - ref_forces).max(axis=(1, 2))
+    print(f"vs FCI over {n_exact} geometries (radius {displacement}):")
+    print(f"  continuation: energy MAE {en_err.mean():.3e} Ha, max "
+          f"{en_err.max():.3e}; force max-err MAE "
+          f"{np.mean(force_err):.3e} Ha/Bohr, max {np.max(force_err):.3e}")
+    print(f"  HF baseline:  energy MAE {hf_err.mean():.3e} Ha; "
+          f"force max-err MAE {f_err_hf.mean():.3e} Ha/Bohr")
     return ens, forces
 
 

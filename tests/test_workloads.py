@@ -97,3 +97,43 @@ def test_zundel_zmatrix_geometry():
     ang = np.degrees(np.arccos(
         v1 @ v2 / np.linalg.norm(v1) / np.linalg.norm(v2)))
     assert abs(ang - 173.730) < 1e-6
+
+
+def test_h10_workload_analytic_forces(tmp_path):
+    """Downscaled H10 flow (H4 for FCI speed): analytic FCI and HF forces
+    validated against finite differences, full workload artifacts written
+    (reference: H10_continuation_3D_replacements.py)."""
+    import numpy as np
+    from evcont_tpu.workloads.h10_pes import (main, fci_energy_and_force,
+                                              hf_energy_and_force)
+    from evcont_tpu.workloads.common import h_chain
+    from evcont_tpu.integrals.engine import IntegralEngine
+    from evcont_tpu.solvers.fci import FCISolver
+
+    base = h_chain(4, 1.78596, basis="sto-6g")
+    eng = IntegralEngine(base)
+    solver = FCISolver(4, base.nelec)
+    rng = np.random.default_rng(3)
+    c = np.asarray(base.coords) + 0.05 * rng.standard_normal((4, 3))
+
+    e, f = fci_energy_and_force(eng, solver, c)
+    e_hf, f_hf = hf_energy_and_force(eng, c)
+    assert e < e_hf  # correlation
+    # finite-difference check of both analytic forces
+    eps = 1e-4
+    for (force, efn) in [
+            (f, lambda x: fci_energy_and_force(eng, solver, x)[0]),
+            (f_hf, lambda x: hf_energy_and_force(eng, x)[0])]:
+        d = rng.standard_normal(c.shape)
+        d /= np.linalg.norm(d)
+        fd = -(efn(c + eps * d) - efn(c - eps * d)) / (2 * eps)
+        assert abs(np.sum(force * d) - fd) < 5e-6, (np.sum(force * d), fd)
+
+    ens, forces = main(n_atoms=4, n_test=6, n_exact=3, workdir=str(tmp_path),
+                       batch_size=3, gap_baseline=True)
+    assert (tmp_path / "H10_predicted_energies_0.1.txt").exists()
+    assert (tmp_path / "H10_FCI_gradients_0.1.txt").exists()
+    tab = np.loadtxt(tmp_path / "H10_predicted_energies_0.1.txt")
+    assert tab.shape == (3, 4)
+    ferr = np.loadtxt(tmp_path / "continuation_force_error.txt")
+    assert np.all(ferr < 0.2)
