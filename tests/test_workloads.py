@@ -137,3 +137,27 @@ def test_h10_workload_analytic_forces(tmp_path):
     assert tab.shape == (3, 4)
     ferr = np.loadtxt(tmp_path / "continuation_force_error.txt")
     assert np.all(ferr < 0.2)
+
+
+def test_zundel_reference_md_baselines(tmp_path):
+    """Reference-dynamics baseline MDs (Zundel_{CCSD,DFT_*}.py parity):
+    HF with analytic forces drives a short NVT; the correlated/DFT
+    energy functions evaluate on the real cation."""
+    from evcont_tpu.workloads.zundel_reference_md import (main, _energy_fn,
+                                                          energy_and_force)
+    from evcont_tpu.workloads.common import zundel
+    from evcont_tpu.integrals.engine import IntegralEngine
+
+    traj, ens = main(method="hf", steps=4, workdir=str(tmp_path))
+    assert traj.shape == (4, 7, 3)
+    assert np.all(np.isfinite(ens)) and np.all(ens < -150)
+
+    mol = zundel(basis="6-31g")
+    eng = IntegralEngine(mol)
+    c = np.asarray(mol.coords)
+    e_hf = _energy_fn("camb3lyp", eng, mol)
+    e_cam = e_hf(c)
+    assert np.isfinite(e_cam) and e_cam < -150
+    e_cc = _energy_fn("ccsd", eng, mol)(c)
+    ehf, _ = energy_and_force("hf", eng, mol, c)
+    assert e_cc < ehf  # correlation lowers the energy
