@@ -50,11 +50,38 @@ def stage1_select_training_set(mol, pool_trajectories, n_train, workdir="."):
     pool = np.concatenate([np.asarray(t).reshape(-1, mol.natm, 3)
                            for t in pool_trajectories])
     engine = IntegralEngine(mol)
+
+    # evaluate every candidate's integrals ONCE, then run the greedy
+    # max-min selection with incremental distance updates (the reference
+    # re-evaluates distances per iteration across MPI ranks, 01:107-124;
+    # one pass + O(pool) updates is equivalent and ~n_train times cheaper)
+    from ..continuation import oao_integrals
+
+    @jax.jit
+    def ints(coords):
+        h1, h2, _ = oao_integrals(engine, coords)
+        return h1, h2
+
+    h1_pool = []
+    h2_pool = []
+    for c in pool:
+        h1, h2 = ints(jnp.asarray(c))
+        h1_pool.append(np.asarray(h1))
+        h2_pool.append(np.asarray(h2).reshape(-1))
+    h1_pool = np.stack(h1_pool).reshape(len(pool), -1)
+    h2_pool = np.stack(h2_pool)
+
+    def dist_to(k):
+        d1 = np.sum((h1_pool - h1_pool[k]) ** 2, axis=1)
+        d2 = 0.5 * np.sum((h2_pool - h2_pool[k]) ** 2, axis=1)
+        return d1 + d2
+
     chosen = [0]
+    min_d = dist_to(0)
     for _ in range(n_train - 1):
-        trn = [pool[i] for i in chosen]
-        idx = selection.select_farthest_point_ham(engine, trn, pool)
-        chosen.append(int(idx))
+        idx = int(np.argmax(min_d))
+        chosen.append(idx)
+        min_d = np.minimum(min_d, dist_to(idx))
     geoms = pool[chosen]
     np.save(os.path.join(workdir, "trn_geometries.npy"), geoms)
     with open(os.path.join(workdir, "trn_geometries.txt"), "w") as fl:

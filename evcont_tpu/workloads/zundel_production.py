@@ -27,7 +27,14 @@ import numpy as np
 
 def run(workdir, n_train=84, ncas=8, nelecas=4, steps=2000, dt=25.0,
         seed=0, stages=(1, 2, 3, 4, 5), subset_sizes=(20, 40, 60, 80),
-        pool_size=600, pool_scale=0.08):
+        pool_size=600, pool_scale=0.08, platform="cpu"):
+    # training stages are f64 host solves (the role of block2/pyscf
+    # cluster jobs in the reference); force the CPU backend unless the
+    # caller wants the device for stage 4/5 batch evaluation
+    if platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     from .common import zundel
     from . import zundel_pipeline as zp
 
