@@ -21,11 +21,12 @@ Design divergences (TPU-first):
   * lowest_states carries a custom JVP implementing the Hellmann-Feynman
     derivative dE_k = c_k^T (dH - E_k dS) c_k (with c_k^T S c_k = 1). This
     makes jax.grad of the continuation energy reproduce the reference's
-    hand-assembled analytic nuclear gradient exactly. The eigenvector
-    tangent is defined as zero: quantities built from the eigenvector
-    (predicted RDMs, observables) are treated as constants under
-    differentiation, matching the generalized Hellmann-Feynman assumption
-    in the reference's force expression.
+    hand-assembled analytic nuclear gradient exactly. Eigenvector
+    tangents are the exact first-order perturbation sums (degenerate
+    directions gauge-projected), so derivatives of predicted-RDM
+    observables (dipole derivatives, etc.) are also correct; S is the
+    geometry-independent training overlap, so its tangent is only folded
+    into dE, not the vector gauge.
   * hermitian=False (scipy.linalg.eig, reference :78) is host-only and not
     differentiable; the default hermitian path is fully on-device.
 """
@@ -133,6 +134,18 @@ def lowest_states(H, S, nroots=1):
     return w[:nroots], C[:, :nroots].T
 
 
+def _eigvec_tangent(w, C, dA, nroots, gap_floor=1e-10):
+    """First-order eigenvector perturbation for the whitened symmetric
+    problem: dY_j = sum_{k != j} Y_k (Y_k^T dA Y_j) / (w_j - w_k), with
+    degenerate directions projected out (gap below gap_floor contributes
+    zero — the rotation within a degenerate block is gauge)."""
+    G = C.T @ dA @ C                           # (n, n) in the eigenbasis
+    gaps = w[None, :nroots] - w[:, None]       # w_j - w_k
+    safe = jnp.where(jnp.abs(gaps) > gap_floor, gaps, jnp.inf)
+    coeff = G[:, :nroots] / safe               # (n, nroots)
+    return C @ coeff                           # (ntrain, nroots)
+
+
 @lowest_states.defjvp
 def _lowest_states_jvp(nroots, primals, tangents):
     H, S = primals
@@ -142,7 +155,14 @@ def _lowest_states_jvp(nroots, primals, tangents):
     V = C[:, :nroots].T                       # (nroots, ntrain)
     dE = jnp.einsum("ka,ab,kb->k", V, dH, V) \
         - E * jnp.einsum("ka,ab,kb->k", V, dS, V)
-    return (E, V), (dE, jnp.zeros_like(V))
+    # exact eigenvector tangent from dH (the training overlap S is
+    # geometry-independent in every caller; its tangent shifts only the
+    # whitening gauge and is not propagated into V). Removes the round-1
+    # limitation of hard-zeroed vector tangents — derivatives of
+    # predicted-RDM observables are now first-order correct.
+    dA = 0.5 * (dH + dH.T)
+    dV = _eigvec_tangent(w, C, dA, nroots).T
+    return (E, V), (dE, dV)
 
 
 def whitening_matrix(S, cutoff=GEP_CUTOFF):
@@ -171,9 +191,14 @@ def lowest_states_whitened(H, X, nroots=1):
 def _lowest_states_whitened_jvp(nroots, primals, tangents):
     H, X = primals
     dH, _ = tangents
-    E, V = lowest_states_whitened(H, X, nroots)
+    A = X.T @ H @ X
+    w, Y = jnp.linalg.eigh(0.5 * (A + A.T))
+    C = X @ Y
+    E = w[:nroots]
+    V = C[:, :nroots].T
     dE = jnp.einsum("ka,ab,kb->k", V, dH, V)
-    return (E, V), (dE, jnp.zeros_like(V))
+    dV = _eigvec_tangent(w, C, 0.5 * (dH + dH.T), nroots).T
+    return (E, V), (dE, dV)
 
 
 # ---------------------------------------------------------------------------

@@ -295,3 +295,43 @@ def test_model_uses_passed_overlap():
     model2 = ContinuationModel.from_backend(h2(1.4), be2)
     e_ref = float(model2.potential(c))
     assert abs(e_sliced - e_ref) < 1e-10
+
+
+def test_eigenvector_tangents_exact():
+    """Eigenvector JVP of lowest_states(_whitened): gauge-invariant
+    quadratic forms of the eigenvector differentiate correctly
+    (round-1 limitation: tangents were hard-zeroed)."""
+    from evcont_tpu.continuation import (lowest_states,
+                                         lowest_states_whitened,
+                                         whitening_matrix)
+    rng = np.random.default_rng(9)
+    n = 8
+    H = rng.standard_normal((n, n))
+    H = 0.5 * (H + H.T) - 3 * np.eye(n)
+    A = rng.standard_normal((n, n))
+    S = A @ A.T + n * np.eye(n)
+    M = rng.standard_normal((n, n))
+    M = 0.5 * (M + M.T)
+    dH = rng.standard_normal((n, n))
+    dH = 0.5 * (dH + dH.T)
+
+    def q(h):
+        _, V = lowest_states(h, jnp.asarray(S), 1)
+        return V[0] @ jnp.asarray(M) @ V[0]
+
+    val, jvp = jax.jvp(q, (jnp.asarray(H),), (jnp.asarray(dH),))
+    eps = 1e-6
+    fd = (q(jnp.asarray(H + eps * dH)) - q(jnp.asarray(H - eps * dH))) \
+        / (2 * eps)
+    assert abs(float(jvp) - float(fd)) < 1e-6 * max(1.0, abs(float(fd)))
+
+    X = whitening_matrix(jnp.asarray(S))
+
+    def qw(h):
+        _, V = lowest_states_whitened(h, X, 2)
+        return V[1] @ jnp.asarray(M) @ V[1]
+
+    val, jvp = jax.jvp(qw, (jnp.asarray(H),), (jnp.asarray(dH),))
+    fd = (qw(jnp.asarray(H + eps * dH)) - qw(jnp.asarray(H - eps * dH))) \
+        / (2 * eps)
+    assert abs(float(jvp) - float(fd)) < 1e-6 * max(1.0, abs(float(fd)))
