@@ -18,6 +18,17 @@ if not _os.environ.get("EVCONT_TPU_FAST_MATMUL"):
     import jax as _jax
     _jax.config.update("jax_default_matmul_precision", "highest")
 
+# persistent XLA compilation cache: the integral-engine graphs dominate
+# cold-start wall time (minutes per molecule shape) and are identical
+# across runs; opt out with EVCONT_TPU_NO_COMPILE_CACHE=1
+if not _os.environ.get("EVCONT_TPU_NO_COMPILE_CACHE"):
+    import jax as _jax
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("EVCONT_TPU_COMPILE_CACHE",
+                        _os.path.expanduser("~/.cache/evcont_tpu_jax_cache")))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 from .molecule import Molecule
 from .config import RunConfig
 
