@@ -5,7 +5,7 @@ Metric (BASELINE.json): PES+force evals/sec for the Zundel (H2O-H3O+)
 6-31G workload at NTRAIN=84 training states — the reference's flagship
 configuration (scripts/MD/H2O-H3O+/md_H2O-H3O+_continuation_DMRG.py:82-83,
 evaluate_dipole_moment_charges_continuation.py:56): 3,570 training pairs x
-307,720 packed two-body entries (~4.4 GB f32 store resident in HBM).
+307,720 packed two-body entries (~4.1 GiB f32 store resident in HBM).
 
 Each evaluation runs the full inference pipeline on device: AO integrals
 (McMurchie-Davidson), Löwdin OAO transform, subspace Hamiltonian assembly
@@ -25,20 +25,24 @@ vs_baseline: measured IN-RUN against the same mathematical pipeline in
 f64 on single-thread XLA CPU on this host (the reference role: its
 NumPy/libcint implementation cannot run here — no pyscf). The CPU process
 evaluates the identical model at the identical geometry; its energy/force
-values also anchor the TPU numerics:
+values also anchor the TPU numerics.
 
-Precision ladder (reported on stderr): plain f32 | compensated assembly
-(MXU, chunked two-float) | exact assembly (VPU TwoProd, f64-class
-contraction) — see evcont_tpu/subspace/compensated.py for the error
-model. The residual gap to CPU f64 after the exact rung is the f32
-integral pipeline itself.
+Precision ladder (reported on stderr), all rungs vs CPU f64:
+  f32       — the throughput path (store + integrals f32, highest matmul
+              precision; see evcont_tpu/__init__.py — XLA's default bf16
+              MXU passes amplify to multi-Ha errors here)
+  exact asm — error-free TwoProd/TwoSum contraction over the f32 store
+              (subspace/compensated.py); residual = f32 integral pipeline
+  precise   — emulated-f64 integrals + Newton-Schulz-refined Löwdin +
+              exact f32-store assembly + f64 GEP + Hellmann-Feynman forces
+              (model.potential_and_forces_precise) — the accuracy mode,
+              targeting the 1e-8 Ha / 1e-6 Ha/Bohr north star on f32
+              hardware
 
-Numerics: the package forces highest matmul precision on TPU (see
-evcont_tpu/__init__.py); with XLA's default bf16 MXU passes the
-near-singular training overlap amplifies rounding into multi-Hartree
-errors.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Process structure: each hardware context (TPU f32, TPU x64, CPU f64) runs
+in its own subprocess — the jax x64 flag is global per process, and the
+axon TPU is exclusive per process. Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
@@ -102,62 +106,32 @@ def eval_geometry(batch_size=1):
     return mol, batch
 
 
-def cpu_reference():
-    """Run the CPU-f64 reference in a subprocess (the axon sitecustomize
-    pins this process's backend, so a fresh interpreter is required)."""
-    code = (
-        "import os, json, time\n"
-        "import numpy as np\n"
-        "import jax\n"
-        "jax.config.update('jax_platforms', 'cpu')\n"
-        "jax.config.update('jax_enable_x64', True)\n"
-        "import bench\n"
-        "from evcont_tpu.model import ContinuationModel\n"
-        "mol, batch = bench.eval_geometry(1)\n"
-        "from evcont_tpu.integrals.engine import IntegralEngine\n"
-        "nao = IntegralEngine(mol).nao\n"
-        "ov, r1, r2 = bench.make_store_device(nao)\n"
-        "ov64, r164, r264 = (np.asarray(a, dtype=np.float64)"
-        " for a in (ov, r1, r2))\n"
-        "model = ContinuationModel(mol, ov64, r164, r264)\n"
-        "c = np.asarray(batch[0], dtype=np.float64)\n"
-        "e, f = model.potential_and_forces(c)   # compile + warm\n"
-        "e = float(e); f = np.asarray(f)\n"
-        "t0 = time.time()\n"
-        "e2, f2 = model.potential_and_forces(c * (1.0 + 1e-9))\n"
-        "float(e2); np.asarray(f2)\n"
-        "dt = time.time() - t0\n"
-        "print(json.dumps({'cpu_eval_seconds': dt, 'energy': e,"
-        " 'forces': f.ravel().tolist()}))\n"
-    )
-    env = dict(os.environ)
-    proc = subprocess.run([sys.executable, "-c", code], env=env,
-                          cwd=os.path.dirname(os.path.abspath(__file__)),
-                          capture_output=True, text=True, timeout=7200)
-    if proc.returncode != 0:
-        raise RuntimeError("CPU reference failed:\n" + proc.stderr[-4000:])
-    return json.loads(proc.stdout.strip().splitlines()[-1])
-
-
-def main():
-    import jax
+def _build_model(overlap_f64=False, store_f64=False):
     from evcont_tpu.model import ContinuationModel
     from evcont_tpu.integrals.engine import IntegralEngine
 
-    t_start = time.time()
-    mol, _ = eval_geometry(1)
-    eng = IntegralEngine(mol)
-    nao = eng.nao
-    print(f"[bench] platform={jax.devices()[0].platform} nao={nao} "
-          f"ntrain={NTRAIN} store="
-          f"{store_shapes(nao)[0]}x{store_shapes(nao)[1]} "
-          f"({store_shapes(nao)[0] * store_shapes(nao)[1] * 4 / 2**30:.2f}"
-          f" GiB f32)", file=sys.stderr)
-
+    mol, batch = eval_geometry(1)
+    nao = IntegralEngine(mol).nao
     ov, r1, r2 = make_store_device(nao)
-    model = ContinuationModel(mol, ov, r1, r2)
+    if overlap_f64:
+        ov = np.asarray(ov, dtype=np.float64)
+    if store_f64:
+        # exact f64 interpretation of the bitwise-identical f32 values
+        # (CPU reference only — the TPU keeps the store f32 in HBM)
+        r1 = np.asarray(r1, dtype=np.float64)
+        r2 = np.asarray(r2, dtype=np.float64)
+    return ContinuationModel(mol, ov, r1, r2), batch, nao
 
-    # ---- throughput: batched PES + forces ------------------------------
+
+def worker_tpu32():
+    """Throughput + f32/exact-assembly ladder rungs on the TPU."""
+    import jax
+    model, _, nao = _build_model()
+    npair, npacked = store_shapes(nao)
+    print(f"[bench] platform={jax.devices()[0].platform} nao={nao} "
+          f"ntrain={NTRAIN} store={npair}x{npacked} "
+          f"({npair * npacked * 4 / 2**30:.2f} GiB f32)", file=sys.stderr)
+
     evals_per_sec, batch_used, rep_times = None, None, []
     for B in BATCH_CANDIDATES:
         try:
@@ -172,8 +146,7 @@ def main():
                     batch + np.float32(1e-5 * (rep + 1)))
                 np.array(e)
                 rep_times.append(time.time() - t0)
-            dt = float(np.median(rep_times))
-            evals_per_sec = B / dt
+            evals_per_sec = B / float(np.median(rep_times))
             batch_used = B
             break
         except Exception as err:  # OOM at this batch size: step down
@@ -182,46 +155,113 @@ def main():
     if evals_per_sec is None:
         raise RuntimeError("all batch sizes failed")
     print(f"[bench] batch={batch_used} rep times="
-          f"{[round(t, 3) for t in rep_times]} s "
-          f"(median {np.median(rep_times):.3f}, "
-          f"min {min(rep_times):.3f})", file=sys.stderr)
+          f"{[round(t, 3) for t in rep_times]} s", file=sys.stderr)
 
-    # ---- precision ladder on one geometry ------------------------------
     _, batch1 = eval_geometry(1)
     c = batch1[0]
     e_f32, f_f32 = model.potential_and_forces(c)
-    e_f32 = float(e_f32)
-    f_f32 = np.asarray(f_f32, dtype=np.float64)
     model.enable_compensated()   # store values are exactly f32: lo = 0
     e_comp = float(model.potential_compensated(c))
+    print(json.dumps({
+        "evals_per_sec": evals_per_sec, "batch": batch_used,
+        "rep_times": rep_times, "e_f32": float(e_f32),
+        "f_f32": np.asarray(f_f32, dtype=np.float64).ravel().tolist(),
+        "e_comp": e_comp,
+    }))
 
-    # ---- CPU f64 reference (throughput baseline + numerics anchor) -----
-    print("[bench] running CPU f64 reference subprocess...",
-          file=sys.stderr)
-    ref = cpu_reference()
+
+def worker_tpu64():
+    """Full-precision rung: emulated-f64 integrals + exact f32 assembly."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    model, batch, _ = _build_model(overlap_f64=True)
+    c = np.asarray(batch[0], dtype=np.float64)
+    t0 = time.time()
+    e, f = model.potential_and_forces_precise(c)
+    e = float(e)
+    f = np.asarray(f)
+    t_first = time.time() - t0
+    t0 = time.time()
+    e2, f2 = model.potential_and_forces_precise(c * (1.0 + 1e-10))
+    float(e2), np.asarray(f2)
+    print(f"[bench] precise first {t_first:.1f} s, warm "
+          f"{time.time() - t0:.2f} s/eval", file=sys.stderr)
+    print(json.dumps({"e_precise": e, "f_precise": f.ravel().tolist()}))
+
+
+def worker_cpu():
+    """CPU-f64 single-core reference (throughput baseline + numerics
+    anchor): the identical model at the identical geometry."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    model, batch, _ = _build_model(overlap_f64=True, store_f64=True)
+    c = np.asarray(batch[0], dtype=np.float64)
+    e, f = model.potential_and_forces(c)   # compile + warm
+    e = float(e)
+    f = np.asarray(f)
+    t0 = time.time()
+    e2, f2 = model.potential_and_forces(c * (1.0 + 1e-9))
+    float(e2), np.asarray(f2)
+    dt = time.time() - t0
+    print(json.dumps({"cpu_eval_seconds": dt, "energy": e,
+                      "forces": f.ravel().tolist()}))
+
+
+def _run_worker(name, timeout=7200):
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--worker", name],
+        capture_output=True, text=True, timeout=timeout,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    sys.stderr.write(proc.stderr[-4000:] if proc.returncode else proc.stderr)
+    if proc.returncode != 0:
+        raise RuntimeError(f"worker {name} failed (rc={proc.returncode})")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main():
+    t_start = time.time()
+    r32 = _run_worker("tpu32")
+    try:
+        r64 = _run_worker("tpu64")
+    except Exception as err:   # precision rung must not sink the benchmark
+        print(f"[bench] precise rung failed: {err}", file=sys.stderr)
+        r64 = None
+    ref = _run_worker("cpu")
+
     cpu_evals_per_sec = 1.0 / ref["cpu_eval_seconds"]
     e_ref = ref["energy"]
-    f_ref = np.array(ref["forces"]).reshape(f_f32.shape)
+    f_ref = np.array(ref["forces"])
+    f_f32 = np.array(r32["f_f32"])
 
     print(f"[bench] CPU f64: {ref['cpu_eval_seconds']:.2f} s/eval "
           f"({cpu_evals_per_sec:.4f} evals/s)", file=sys.stderr)
-    print("[bench] precision ladder vs CPU f64 at ntrain=84:",
+    print(f"[bench] precision ladder vs CPU f64 at ntrain={NTRAIN}:",
           file=sys.stderr)
-    print(f"[bench]   f32 assembly:         |dE| = {abs(e_f32 - e_ref):.3e}"
-          f" Ha, max|dF| = {np.abs(f_f32 - f_ref).max():.3e}",
+    print(f"[bench]   f32:        |dE| = {abs(r32['e_f32'] - e_ref):.3e} Ha"
+          f", max|dF| = {np.abs(f_f32 - f_ref).max():.3e} Ha/Bohr",
           file=sys.stderr)
-    print(f"[bench]   exact assembly (VPU): |dE| = {abs(e_comp - e_ref):.3e}"
-          " Ha (residual = f32 integral pipeline)", file=sys.stderr)
+    print(f"[bench]   exact asm:  |dE| = {abs(r32['e_comp'] - e_ref):.3e}"
+          " Ha", file=sys.stderr)
+    if r64 is not None:
+        f_pre = np.array(r64["f_precise"])
+        print(f"[bench]   precise:    |dE| = "
+              f"{abs(r64['e_precise'] - e_ref):.3e} Ha, max|dF| = "
+              f"{np.abs(f_pre - f_ref).max():.3e} Ha/Bohr", file=sys.stderr)
 
     print(f"[bench] total wall time {time.time() - t_start:.0f} s",
           file=sys.stderr)
     print(json.dumps({
         "metric": "zundel84_pes_force_evals_per_sec",
-        "value": round(evals_per_sec, 2),
+        "value": round(r32["evals_per_sec"], 2),
         "unit": "evals/s",
-        "vs_baseline": round(evals_per_sec / cpu_evals_per_sec, 1),
+        "vs_baseline": round(r32["evals_per_sec"] / cpu_evals_per_sec, 1),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        {"tpu32": worker_tpu32, "tpu64": worker_tpu64,
+         "cpu": worker_cpu}[sys.argv[sys.argv.index("--worker") + 1]]()
+    else:
+        main()

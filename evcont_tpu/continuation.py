@@ -363,12 +363,20 @@ def predicted_rdms(vec, one_rdm, two_rdm, norb):
 # ---------------------------------------------------------------------------
 # OAO wrappers operating on a geometry via the integral engine
 # ---------------------------------------------------------------------------
-def oao_integrals(engine, coords):
+def oao_integrals(engine, coords, refine_loewdin=False):
     """h1, h2 in the Löwdin-orthogonalized AO basis at a geometry, plus the
     nuclear repulsion (reference: get_integrals(mol, get_basis(mol)),
-    electron_integral_utils.py:122-138)."""
+    electron_integral_utils.py:122-138).
+
+    refine_loewdin polishes S^(-1/2) with Newton-Schulz steps — required
+    for full f64 accuracy on TPU, where the backend eigh is the one
+    primitive that is not genuinely double precision (see
+    oao.loewdin_trafo_refined)."""
+    from .oao import loewdin_trafo_refined
+
     S_ao = engine.overlap(coords)
-    trafo = loewdin_trafo(S_ao)
+    trafo = loewdin_trafo_refined(S_ao) if refine_loewdin \
+        else loewdin_trafo(S_ao)
     h1 = trafo.T @ engine.hcore(coords) @ trafo
     h2 = engine.eri(coords)
     for _ in range(4):

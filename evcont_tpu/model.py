@@ -237,6 +237,89 @@ class ContinuationModel:
             jnp.asarray(coords), *self._comp_r1, *self._comp_r2,
             self.overlap)
 
+    # -- full-precision path: emulated-f64 integrals + error-free f32
+    #    assembly (requires jax_enable_x64) --------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def _ef_precise(self, coords, r1_hi, r1_lo, r2_hi, r2_lo, overlap64):
+        from .oao import compress_exchange
+        from .continuation import (_unpack_pairs, lowest_states,
+                                   pair_compression_maps)
+        from .subspace.compensated import (compensated_pair_assembly,
+                                           split_two_float_device)
+        sg = jax.lax.stop_gradient
+        f64 = jnp.float64
+
+        def total_energy(c):
+            # f64 integral pipeline (XLA-emulated f64 on TPU is genuinely
+            # double precision for every primitive except eigh, which the
+            # Newton-Schulz-refined Loewdin transform repairs)
+            h1, h2, enuc = oao_integrals(self.engine, c,
+                                         refine_loewdin=True)
+            h2c = compress_exchange(h2, diag_multiplier=0.5)
+
+            # hybrid assembly: the multi-GB t-RDM store stays f32 and is
+            # contracted with error-free TwoProd/TwoSum arithmetic (keeping
+            # HBM and bandwidth at f32 cost); the tiny (ntrain, ntrain)
+            # result is then exact at f64 level
+            h1s = split_two_float_device(sg(h1))
+            h2s = split_two_float_device(sg(h2c))
+            H_hi, H_lo = compensated_pair_assembly(
+                r1_hi, r1_lo, r2_hi, r2_lo, h1s, h2s, mode="exact")
+            ntrain = overlap64.shape[0]
+            H = _unpack_pairs(H_hi.astype(f64), ntrain, f64) \
+                + _unpack_pairs(H_lo.astype(f64), ntrain, f64)
+
+            # GEP value from the Rayleigh quotient with the exact H (the
+            # eigensolve's own ~6e-9 TPU-eigh vector error enters only at
+            # second order); everything here is constant w.r.t. coords
+            _, vec = lowest_states(sg(H), overlap64, 1)
+            vec = sg(vec[0])
+            e_val = (vec @ H @ vec) / (vec @ overlap64 @ vec)
+
+            # gradient path: generalized Hellmann-Feynman — E is linear in
+            # (h1, h2c) at fixed predicted RDMs, so the force flows through
+            # the f64 integral pipeline only (never backward through the
+            # 4-GiB store contraction)
+            w = 2.0 * jnp.outer(vec, vec)
+            w = w - 0.5 * jnp.diag(jnp.diag(w))
+            rows, cols = pair_compression_maps(ntrain)
+            wp = sg(w[rows, cols]).astype(jnp.float32)
+            g1 = jnp.tensordot(wp, r1_hi, axes=1).astype(f64)
+            g2 = (wp @ r2_hi).astype(f64)
+            if r1_lo is not None:
+                g1 = g1 + jnp.tensordot(wp, r1_lo, axes=1).astype(f64)
+            if r2_lo is not None:
+                g2 = g2 + (wp @ r2_lo).astype(f64)
+            norm = vec @ overlap64 @ vec
+            e_lin = (jnp.vdot(sg(g1), h1) + jnp.vdot(sg(g2), h2c)) / norm
+            # value = exact Rayleigh quotient; gradient = d(e_lin)/dR
+            return e_val + enuc + (e_lin - sg(e_lin))
+
+        return jax.value_and_grad(total_energy)(coords)
+
+    def potential_and_forces_precise(self, coords):
+        """(E, F) at full f64 accuracy on f32 hardware: emulated-f64
+        integrals/Loewdin/transform (small per-geometry tensors), exact
+        two-float contraction over the f32-resident t-RDM store (no f64
+        HBM cost for the multi-GB store), f64 GEP with Rayleigh-refined
+        energy, and Hellmann-Feynman forces through the f64 pipeline.
+
+        Requires jax_enable_x64 (raises otherwise). This is the accuracy
+        mode matching the reference's CPU-f64 numerics (BASELINE.json
+        north star: 1e-8 Ha / 1e-6 Ha/Bohr); the plain f32 path remains
+        the throughput mode."""
+        if not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "potential_and_forces_precise requires jax_enable_x64 "
+                "(set jax.config.update('jax_enable_x64', True) at startup)")
+        if not hasattr(self, "_comp_r1"):
+            self.enable_compensated()
+        overlap64 = jnp.asarray(np.asarray(self.overlap, dtype=np.float64))
+        e, g = self._ef_precise(
+            jnp.asarray(coords, dtype=jnp.float64), *self._comp_r1,
+            *self._comp_r2, overlap64)
+        return e, -g
+
     # convenience for the MD / active-learning drivers
     def energy_fn(self):
         ov, r1, r2 = self.overlap, self.one_rdm, self.two_rdm

@@ -67,6 +67,27 @@ def _loewdin_trafo_jvp(primals, tangents):
     return primal_out, d_out
 
 
+def loewdin_trafo_refined(overlap_mat, steps=2):
+    """S^(-1/2) to full working precision via Newton-Schulz refinement.
+
+    The eigh-based loewdin_trafo seed is polished with
+        X <- X (3 I - S X X) / 2
+    (quadratic convergence for SPD S when the seed commutes with S, which
+    an eigh-based seed does to its own accuracy). Rationale: XLA:TPU's
+    f64 eigh delivers only ~6e-9 relative accuracy (measured — it is the
+    one TPU primitive that is not genuinely double precision), while f64
+    matmuls are exact to ~4e-15; two matmul-only refinement steps restore
+    full f64 accuracy. Requires a nonsingular overlap — true for AO
+    overlap matrices; the near-singular *training* overlap is handled by
+    the GEP whitening cutoff, never by this function."""
+    X = loewdin_trafo(overlap_mat)
+    eye3 = 3.0 * jnp.eye(overlap_mat.shape[0], dtype=overlap_mat.dtype)
+    for _ in range(steps):
+        X = 0.5 * (X @ (eye3 - overlap_mat @ X @ X))
+        X = 0.5 * (X + X.T)
+    return X
+
+
 def get_basis(bundle_ovlp):
     """OAO basis from the AO overlap matrix. The canonical/split basis
     choices (evcont/electron_integral_utils.py:91-119) live in

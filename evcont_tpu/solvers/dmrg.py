@@ -323,6 +323,7 @@ def converge_dmrg(h1, h2, nelec, tag, bond_dim_schedule=None, noises=None,
                                lam=penalty)
     W = mpo_compress(mpo_add(W_ham, W_pen))
 
+    os.makedirs(workdir, exist_ok=True)
     restart_path = (os.path.join(workdir, f"{restart_tag}-mps.npz")
                     if restart_tag is not None else None)
     if restart_path and os.path.exists(restart_path):

@@ -48,6 +48,15 @@ def split_two_float(x):
     return hi, lo
 
 
+def split_two_float_device(x):
+    """On-device split of an f64 array into a (hi, lo) f32 pair (requires
+    jax_enable_x64; TPU emulated-f64 subtraction is exact here since
+    hi is exactly representable in f64)."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
 def two_sum(a, b):
     """Error-free transformation: a + b = s + e exactly (Knuth TwoSum),
     elementwise in f32 on device."""

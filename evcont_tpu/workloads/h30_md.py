@@ -5,11 +5,13 @@ MD (300 steps, dt = 5) whose training states come from DMRG, with restart
 from saved overlap/one_rdm/two_rdm.npy artifacts (:72-87) — plus the HF
 baseline MD (md_H30_HF.py).
 
-block2/DMRG is unavailable in this environment, so the training data must
-be supplied as checkpoint artifacts (any external solver producing the
-schema works). With --n-atoms small enough for FCI (<= ~12), --train-fci
-generates the artifacts in-process, exercising the identical restart code
-path at reduced scale.
+Training-data sources (all produce the same checkpoint artifact schema):
+  --train-dmrg  in-framework DMRG (solvers/dmrg.py) with cached-environment
+                MPS t-RDM sweeps — the full-parity path at 30 orbitals
+                (role of block2 in the reference; hours of host CPU)
+  --train-fci   in-process FCI for --n-atoms <= ~12 (reduced-scale test of
+                the identical restart code path)
+  neither       ingest externally produced overlap/one_rdm/two_rdm.npy
 """
 
 import argparse
@@ -35,14 +37,38 @@ def train_fci_artifacts(n_atoms, basis, train_dists, workdir):
                trn_times=list(range(backend.ntrain)))
 
 
+def train_dmrg_artifacts(n_atoms, basis, train_dists, workdir,
+                         bond_dims=(16, 24, 32)):
+    """In-framework DMRG training at H30 scale: schedule-parity driver
+    (converge_dmrg) + cached-environment MPS t-RDM sweeps
+    (solvers/dmrg.py:mps_transition_rdm12) — the role of block2's
+    get_1pdm/get_2pdm with bra != ket in the reference
+    (DMRG_EVCont.py:70-85)."""
+    import time
+    from ..backends.dmrg_backend import DMRGBackend
+    backend = DMRGBackend(bond_dims=bond_dims, trdm_method="mps",
+                          workdir=os.path.join(workdir, "dmrg"))
+    for d in train_dists:
+        t0 = time.time()
+        backend.append_to_rdms(h_chain(n_atoms, d, basis=basis))
+        print(f"[h30] DMRG state d={d}: E = {backend.ens[-1]:.6f} "
+              f"({time.time() - t0:.0f} s)", flush=True)
+    save_state(workdir, backend.overlap, backend.one_rdm, backend.two_rdm,
+               trn_times=list(range(backend.ntrain)))
+
+
 def main(n_atoms=30, basis="sto-6g", d0=1.9, steps=300, dt=5.0,
-         workdir=".", train_fci=False,
-         train_dists=(1.2, 1.6, 2.0, 2.4, 2.8), hf_baseline=False):
+         workdir=".", train_fci=False, train_dmrg=False,
+         train_dists=(1.2, 1.6, 2.0, 2.4, 2.8), hf_baseline=False,
+         bond_dims=(16, 24, 32)):
     os.makedirs(workdir, exist_ok=True)
     mol = h_chain(n_atoms, d0, basis=basis)
 
     if train_fci:
         train_fci_artifacts(n_atoms, basis, train_dists, workdir)
+    elif train_dmrg:
+        train_dmrg_artifacts(n_atoms, basis, train_dists, workdir,
+                             bond_dims=bond_dims)
 
     backend = TRDMIngestBackend().load_state_files(workdir)
     model = ContinuationModel(mol, backend.overlap, backend.one_rdm,
@@ -87,8 +113,17 @@ if __name__ == "__main__":
     ap.add_argument("--train-fci", action="store_true",
                     help="generate training artifacts with the in-process "
                          "FCI solver (small chains only)")
+    ap.add_argument("--train-dmrg", action="store_true",
+                    help="generate training artifacts with the in-framework "
+                         "DMRG solver (MPS t-RDM sweeps; production scale)")
+    ap.add_argument("--bond-dims", type=int, nargs="+",
+                    default=[16, 24, 32])
+    ap.add_argument("--train-dists", type=float, nargs="+",
+                    default=[1.2, 1.6, 2.0, 2.4, 2.8])
     ap.add_argument("--hf-baseline", action="store_true")
     args = ap.parse_args()
     main(n_atoms=args.n_atoms, basis=args.basis, steps=args.steps,
          workdir=args.workdir, train_fci=args.train_fci,
+         train_dmrg=args.train_dmrg, bond_dims=tuple(args.bond_dims),
+         train_dists=tuple(args.train_dists),
          hf_baseline=args.hf_baseline)
