@@ -33,26 +33,37 @@ def get_trajectory(model, init_coords=None, dt=10.0, steps=10,
     executes the whole trajectory as one on-device scan. Returns the
     trajectory coordinates (steps, natm, 3) in Bohr.
 
-    aux_fn(coords) computes per-step observables inside the scan (the
-    on-device form of the reference's MD callbacks); results are returned
-    through the aux_out dict under "aux".
+    aux_fn(coords) — or aux_fn(coords, overlap, one_rdm, two_rdm) for
+    observables that read the t-RDM store — computes per-step observables
+    inside the scan (the on-device form of the reference's MD callbacks);
+    results are returned through the aux_out dict under "aux".
     """
+    import inspect
+
     mol = model.mol
     coords0 = np.asarray(mol.coords if init_coords is None else init_coords)
     masses = mol.masses_au()
-    energy_fn = model.energy_fn()
+    # the store enters jit as traced arguments (a multi-GB closure capture
+    # would be embedded in the lowered program; see energy_fn_with_store)
+    energy_fn, store = model.energy_fn_with_store()
+    aux_takes_store = aux_fn is not None and \
+        len(inspect.signature(aux_fn).parameters) == 4
 
-    if ensemble == "nve":
-        run = jax.jit(lambda c, v: run_nve(energy_fn, masses, c, v, dt,
-                                           steps, aux_fn=aux_fn))
-    elif ensemble == "nvt_berendsen":
-        run = jax.jit(lambda c, v: run_nvt_berendsen(
-            energy_fn, masses, c, v, dt, steps, T, taut, aux_fn=aux_fn))
-    else:
+    def run_body(c, v, ov, r1, r2):
+        efn = lambda cc: energy_fn(cc, ov, r1, r2)
+        afn = None
+        if aux_fn is not None:
+            afn = (lambda cc: aux_fn(cc, ov, r1, r2)) if aux_takes_store \
+                else aux_fn
+        if ensemble == "nve":
+            return run_nve(efn, masses, c, v, dt, steps, aux_fn=afn)
+        elif ensemble == "nvt_berendsen":
+            return run_nvt_berendsen(efn, masses, c, v, dt, steps, T,
+                                     taut, aux_fn=afn)
         raise ValueError(f"unknown ensemble {ensemble!r}")
 
     v0 = np.zeros_like(coords0) if init_veloc is None else np.asarray(init_veloc)
-    out = run(coords0, v0)
+    out = jax.jit(run_body)(coords0, v0, *store)
     coords = np.array(out["coords"])
     epot = np.array(out["epot"])
     ekin = np.array(out["ekin"])

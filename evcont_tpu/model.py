@@ -332,3 +332,20 @@ class ContinuationModel:
                                              hermitian=hermitian)
             return en + enuc
         return f
+
+    def energy_fn_with_store(self):
+        """(f(coords, overlap, one_rdm, two_rdm), store) — the parametric
+        form for jitted drivers. The multi-GB t-RDM store must enter jit
+        as a TRACED ARGUMENT, never as a closure constant: captured
+        constants are embedded in the lowered program, which multiplies
+        host memory and breaks the remote-compile transport on axon
+        (measured: a 4.4 GiB captured store kills the compile RPC)."""
+        engine = self.engine
+        hermitian = self.hermitian
+
+        def f(coords, overlap, one_rdm, two_rdm):
+            h1, h2, enuc = oao_integrals(engine, coords)
+            en, _ = approximate_ground_state(h1, h2, one_rdm, two_rdm,
+                                             overlap, hermitian=hermitian)
+            return en + enuc
+        return f, (self.overlap, self.one_rdm, self.two_rdm)

@@ -191,11 +191,13 @@ def stage4_continuation_md(mol, n_train, seed, steps=10000, dt=25.0,
     from ..continuation import oao_integrals, approximate_ground_state, \
         predicted_rdm1
 
-    def aux_fn(c):
+    def aux_fn(c, overlap, one_rdm, two_rdm):
+        # 4-arg form: the driver passes the t-RDM store as traced
+        # arguments (closure capture would embed 4+ GiB in the program)
         h1, h2, _ = oao_integrals(engine, c)
-        _, vec = approximate_ground_state(h1, h2, model.one_rdm,
-                                          model.two_rdm, model.overlap)
-        rdm1 = predicted_rdm1(vec, model.one_rdm)
+        _, vec = approximate_ground_state(h1, h2, one_rdm, two_rdm,
+                                          overlap)
+        rdm1 = predicted_rdm1(vec, one_rdm)
         return (dipole_moment(engine, masses, c, rdm1),
                 mulliken_charges(engine, c, rdm1))
 
@@ -235,13 +237,14 @@ def evaluate_observables(mol, n_train, trajectory, workdir=".",
     masses = mol.masses_au()
 
     @jax.jit
-    def obs_batch(frames):
+    def obs_batch(frames, overlap, one_rdm, two_rdm, whitening):
+        # store passed as traced args (not closure constants — see
+        # model.energy_fn_with_store)
         def one(c):
             h1, h2, _ = oao_integrals(engine, c)
             _, vec = approximate_ground_state(
-                h1, h2, model.one_rdm, model.two_rdm, model.overlap,
-                whitening=model.whitening)
-            rdm1 = predicted_rdm1(vec, model.one_rdm)
+                h1, h2, one_rdm, two_rdm, overlap, whitening=whitening)
+            rdm1 = predicted_rdm1(vec, one_rdm)
             return (dipole_moment(engine, masses, c, rdm1),
                     mulliken_charges(engine, c, rdm1))
         return jax.vmap(one)(frames)
@@ -253,7 +256,8 @@ def evaluate_observables(mol, n_train, trajectory, workdir=".",
         pad = chunk_size - chunk.shape[0]
         if pad:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-        d, q = obs_batch(jnp.asarray(chunk))
+        d, q = obs_batch(jnp.asarray(chunk), model.overlap, model.one_rdm,
+                         model.two_rdm, model.whitening)
         d, q = np.array(d), np.array(q)
         if pad:
             d, q = d[:-pad], q[:-pad]
