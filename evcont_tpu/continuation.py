@@ -165,6 +165,49 @@ def _lowest_states_jvp(nroots, primals, tangents):
     return (E, V), (dE, dV)
 
 
+def polish_ground_vector(A, Y, gap_floor_rel=1.0e-6):
+    """First-order polish of the ground eigenvector of symmetric A given a
+    possibly inaccurate eigenbasis Y (ascending eigenvalues).
+
+    B = Y^T A Y is nearly diagonal when Y is nearly exact; the correction
+    y = e_0 + sum_k B[k,0] / (B[0,0] - B[k,k]) e_k removes the leading
+    eigenvector error wherever the gap is resolvable. Directions with
+    |gap| below gap_floor_rel * spread(A) are skipped — their residual
+    contributes only O(gap * delta^2) to any Rayleigh quotient, so they
+    never matter for energies. Repairs the backend eigh's vector error
+    (XLA:TPU's f64 eigh is the one TPU primitive that is not genuinely
+    double precision, ~6e-9 relative measured; matmuls here are exact to
+    ~4e-15)."""
+    B = Y.T @ (A @ Y)
+    d = jnp.diag(B)
+    den = B[0, 0] - d
+    scale = jnp.maximum(jnp.max(d) - jnp.min(d), 1e-300)
+    safe = jnp.where(jnp.abs(den) > gap_floor_rel * scale, den, jnp.inf)
+    coef = (B[:, 0] / safe).at[0].set(1.0)
+    y = Y @ coef
+    return y / jnp.linalg.norm(y)
+
+
+def ground_state_polished(H, S, cutoff=GEP_CUTOFF):
+    """Ground-state GEP solve with the eigh-basis polish (full working
+    precision on TPU): whiten S, eigh, first-order vector correction,
+    S-normalize. Energy should be taken as the Rayleigh quotient
+    c^T H c / c^T S c of the returned vector (second order in the
+    remaining vector error)."""
+    s, U = jnp.linalg.eigh(S)
+    thresh = cutoff * jnp.max(jnp.abs(s))
+    inv_sqrt = jnp.where(s > thresh,
+                         1.0 / jnp.sqrt(jnp.maximum(s, thresh)), 0.0)
+    X = U * inv_sqrt
+    A = X.T @ H @ X
+    A = 0.5 * (A + A.T)
+    w, Y = jnp.linalg.eigh(A)
+    y = polish_ground_vector(A, Y)
+    c = X @ y
+    nrm = c @ (S @ c)
+    return c / jnp.sqrt(jnp.maximum(nrm, 1e-300))
+
+
 def whitening_matrix(S, cutoff=GEP_CUTOFF):
     """Precomputable whitening X of the training overlap (S is geometry-
     independent, so models compute this once instead of re-diagonalizing S

@@ -242,7 +242,7 @@ class ContinuationModel:
     @partial(jax.jit, static_argnums=0)
     def _ef_precise(self, coords, r1_hi, r1_lo, r2_hi, r2_lo, overlap64):
         from .oao import compress_exchange
-        from .continuation import (_unpack_pairs, lowest_states,
+        from .continuation import (_unpack_pairs, ground_state_polished,
                                    pair_compression_maps)
         from .subspace.compensated import (compensated_pair_assembly,
                                            split_two_float_device)
@@ -269,11 +269,12 @@ class ContinuationModel:
             H = _unpack_pairs(H_hi.astype(f64), ntrain, f64) \
                 + _unpack_pairs(H_lo.astype(f64), ntrain, f64)
 
-            # GEP value from the Rayleigh quotient with the exact H (the
-            # eigensolve's own ~6e-9 TPU-eigh vector error enters only at
-            # second order); everything here is constant w.r.t. coords
-            _, vec = lowest_states(sg(H), overlap64, 1)
-            vec = sg(vec[0])
+            # GEP vector via the polished solve (repairs the TPU f64
+            # eigh's vector error, which the near-singular training
+            # overlap otherwise amplifies); energy from the Rayleigh
+            # quotient with the exact H — second order in any remaining
+            # vector error. Everything here is constant w.r.t. coords.
+            vec = sg(ground_state_polished(sg(H), overlap64))
             e_val = (vec @ H @ vec) / (vec @ overlap64 @ vec)
 
             # gradient path: generalized Hellmann-Feynman — E is linear in

@@ -48,6 +48,33 @@ def test_newton_schulz_refines_degraded_seed():
     assert np.abs(Xr - X_exact).max() < 1e-12
 
 
+def test_polish_ground_vector_repairs_perturbed_basis():
+    """Injecting a ~1e-7 rotation into the eigenbasis (worse than the TPU
+    eigh's measured error) must still yield a Rayleigh quotient accurate
+    to ~delta^2 after the polish."""
+    import jax.numpy as jnp
+    from evcont_tpu.continuation import polish_ground_vector
+
+    rng = np.random.default_rng(5)
+    n = 40
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    w_exact = np.sort(np.concatenate([
+        [-80.0, -79.5], rng.uniform(-70, -1, n - 2)]))
+    A = (Q * w_exact) @ Q.T
+    w, Y = np.linalg.eigh(A)
+
+    # perturb the basis by a small rotation
+    K = 1e-7 * rng.standard_normal((n, n))
+    K = K - K.T
+    from scipy.linalg import expm
+    Yp = Y @ expm(K)
+    e_bad = Yp[:, 0] @ A @ Yp[:, 0]
+    y = np.asarray(polish_ground_vector(jnp.asarray(A), jnp.asarray(Yp)))
+    e_polished = y @ A @ y
+    assert abs(e_bad - w[0]) > 1e-12          # perturbation is visible
+    assert abs(e_polished - w[0]) < 1e-12     # polish removes it
+
+
 @pytest.fixture(scope="module")
 def trained_model():
     backend = FCIBackend()
