@@ -26,12 +26,19 @@ def write_energy_line(fh, time_au, epot, ekin):
 def get_trajectory(model, init_coords=None, dt=10.0, steps=10,
                    init_veloc=None, ensemble="nve", T=298.15, taut=250.0,
                    trajectory_output=None, energy_output=None,
-                   aux_fn=None, aux_out=None):
+                   aux_fn=None, aux_out=None, chunk_steps=None):
     """Run an MD trajectory from a ContinuationModel.
 
     Mirrors the reference's get_trajectory signature (MD_utils.py:60-71) but
     executes the whole trajectory as one on-device scan. Returns the
     trajectory coordinates (steps, natm, 3) in Bohr.
+
+    chunk_steps bounds the length of a single device dispatch: the scan
+    runs in ceil(steps/chunk_steps) equal-length calls to ONE compiled
+    program, stitching (coords, veloc) between calls (one redundant force
+    evaluation per chunk). Use for very long production trajectories —
+    bounded dispatches survive runtime hiccups that a single 10k-step
+    dispatch may not, and give host-side progress.
 
     aux_fn(coords) — or aux_fn(coords, overlap, one_rdm, two_rdm) for
     observables that read the t-RDM store — computes per-step observables
@@ -49,6 +56,12 @@ def get_trajectory(model, init_coords=None, dt=10.0, steps=10,
     aux_takes_store = aux_fn is not None and \
         len(inspect.signature(aux_fn).parameters) == 4
 
+    if chunk_steps is None or chunk_steps >= steps:
+        n_chunks, chunk = 1, steps
+    else:
+        n_chunks = -(-steps // chunk_steps)
+        chunk = chunk_steps
+
     def run_body(c, v, ov, r1, r2):
         efn = lambda cc: energy_fn(cc, ov, r1, r2)
         afn = None
@@ -56,14 +69,24 @@ def get_trajectory(model, init_coords=None, dt=10.0, steps=10,
             afn = (lambda cc: aux_fn(cc, ov, r1, r2)) if aux_takes_store \
                 else aux_fn
         if ensemble == "nve":
-            return run_nve(efn, masses, c, v, dt, steps, aux_fn=afn)
+            return run_nve(efn, masses, c, v, dt, chunk, aux_fn=afn)
         elif ensemble == "nvt_berendsen":
-            return run_nvt_berendsen(efn, masses, c, v, dt, steps, T,
+            return run_nvt_berendsen(efn, masses, c, v, dt, chunk, T,
                                      taut, aux_fn=afn)
         raise ValueError(f"unknown ensemble {ensemble!r}")
 
+    run_jit = jax.jit(run_body)
     v0 = np.zeros_like(coords0) if init_veloc is None else np.asarray(init_veloc)
-    out = jax.jit(run_body)(coords0, v0, *store)
+    c_cur, v_cur = coords0, v0
+    chunks = []
+    for _ in range(n_chunks):
+        part = run_jit(c_cur, v_cur, *store)
+        part = jax.tree_util.tree_map(np.array, part)
+        chunks.append(part)
+        c_cur, v_cur = part["coords"][-1], part["veloc"][-1]
+    out = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs)[:steps], *chunks) \
+        if n_chunks > 1 else chunks[0]
     coords = np.array(out["coords"])
     epot = np.array(out["epot"])
     ekin = np.array(out["ekin"])

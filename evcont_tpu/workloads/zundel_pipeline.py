@@ -208,7 +208,8 @@ def stage4_continuation_md(mol, n_train, seed, steps=10000, dt=25.0,
             model, init_coords=mol.coords, dt=dt, steps=steps,
             init_veloc=v0, ensemble="nvt_berendsen", T=T, taut=taut,
             trajectory_output=tf, energy_output=ef,
-            aux_fn=aux_fn, aux_out=aux_out)
+            aux_fn=aux_fn, aux_out=aux_out,
+            chunk_steps=min(500, steps))
     dips, charges = aux_out["aux"]
     dips = dips[::observable_stride]
     charges = charges[::observable_stride]

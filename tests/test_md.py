@@ -199,3 +199,16 @@ def test_converge_with_pruning(tmp_path):
                       key=lambda p: int(p.stem.split("_")[-1]))
     assert tt_files
     assert backend.ntrain >= 1
+
+
+def test_chunked_trajectory_matches_single_scan(h2_model):
+    """chunk_steps stitches (coords, veloc) across dispatches; the chunked
+    trajectory must equal the single-scan one to roundoff."""
+    from evcont_tpu.md.driver import get_trajectory
+    import numpy as np
+
+    c1, e1, k1 = get_trajectory(h2_model, dt=10.0, steps=7)
+    c2, e2, k2 = get_trajectory(h2_model, dt=10.0, steps=7, chunk_steps=3)
+    assert c2.shape == c1.shape
+    assert np.abs(c1 - c2).max() < 1e-10
+    assert np.abs(e1 - e2).max() < 1e-10
