@@ -338,6 +338,97 @@ def approximate_multistate(h1, h2, one_rdm, two_rdm, S, nroots=1,
 
 
 # ---------------------------------------------------------------------------
+# training-basis orthonormalization (production conditioning)
+# ---------------------------------------------------------------------------
+def orthonormalize_store(overlap, one_rdm, two_rdm, cutoff=GEP_CUTOFF,
+                         chunk=4096):
+    """Re-express the training states S-orthonormally (canonical
+    orthogonalization of the TRAINING basis, computed once in f64).
+
+    The training overlap S is geometry-independent, so its conditioning
+    can be paid for once, offline, in full precision: with
+    X = U_keep / sqrt(s_keep), the transformed t-RDMs
+        gamma~[A,B] = sum_ab X[a,A] X[b,B] gamma[a,b]
+    satisfy S~ = I, and the per-geometry generalized eigenproblem becomes
+    an ordinary symmetric eigensolve. This is what makes the f32
+    throughput path robust on production training sets: the 84-state
+    Zundel store has kappa(S) ~ 2e6, and raw f32 assembly collapses to
+    spurious states ~80 Ha below the physical ground state, while the
+    orthonormalized f32 store stays accurate (see
+    tests/test_precision_precise.py). Eigenvalues identical in exact
+    arithmetic (same whitened matrix as solve_gep).
+
+    Accepts full ((N,N,n,n) / (N,N,...)) or pair-compressed
+    ((Npair,n,n) / (Npair,P)) layouts; returns
+    (identity_overlap, one_rdm_t, two_rdm_t) in the SAME layout family
+    (pair-compressed stays pair-compressed), possibly with fewer states
+    when S has numerically null directions. Host numpy, f64, chunked
+    over the trailing axis to bound memory."""
+    S = np.asarray(overlap, dtype=np.float64)
+    one_rdm = np.asarray(one_rdm)
+    two_rdm = np.asarray(two_rdm)
+    N = S.shape[0]
+    s, U = np.linalg.eigh(S)
+    keep = s > cutoff * np.abs(s).max()
+    X = U[:, keep] / np.sqrt(s[keep])
+    M = X.shape[1]
+
+    pair_in = one_rdm.ndim == 3
+    rows, cols = np.tril_indices(N)
+
+    def unpack(vals):
+        # (Npair, k) packed-symmetric -> (N, N, k)
+        full = np.zeros((N, N) + vals.shape[1:], dtype=np.float64)
+        full[rows, cols] = vals
+        full[cols, rows] = vals
+        return full
+
+    def transform(full):
+        # (N, N, k) -> (M, M, k)
+        return np.einsum("aA,ab...,bB->AB...", X, full, X, optimize=True)
+
+    r1_full = unpack(one_rdm.astype(np.float64)) if pair_in \
+        else one_rdm.astype(np.float64)
+    r1_t = transform(r1_full)
+
+    if two_rdm.ndim in (2, 3):
+        P = two_rdm.shape[-1]
+        packed = two_rdm.astype(np.float64)
+        if two_rdm.ndim == 3:
+            packed = packed[rows, cols]
+        out = np.empty((M, M, P), dtype=np.float64)
+        for start in range(0, P, chunk):
+            sl = slice(start, start + chunk)
+            out[:, :, sl] = transform(unpack(packed[:, sl]))
+        if pair_in or two_rdm.ndim == 3:
+            tr, tc = np.tril_indices(M)
+            r2_t = out[tr, tc]
+            if two_rdm.ndim == 3:
+                full3 = np.zeros((M, M, P))
+                full3[tr, tc] = r2_t
+                full3[tc, tr] = r2_t
+                r2_t = full3
+        else:
+            r2_t = out
+    else:   # 5-d / 6-d uncompressed layouts
+        full = two_rdm.astype(np.float64)
+        if two_rdm.ndim == 5:
+            f6 = np.zeros((N, N) + two_rdm.shape[1:])
+            f6[rows, cols] = full
+            f6[cols, rows] = full
+            full = f6
+        r2_t = transform(full)
+        if two_rdm.ndim == 5:
+            tr, tc = np.tril_indices(M)
+            r2_t = r2_t[tr, tc]
+
+    if pair_in:
+        tr, tc = np.tril_indices(M)
+        r1_t = r1_t[tr, tc]
+    return np.eye(M), r1_t, r2_t
+
+
+# ---------------------------------------------------------------------------
 # predicted RDMs (for observables: dipole moments, Mulliken charges)
 # ---------------------------------------------------------------------------
 def to_pair_layout(one_rdm, two_rdm, compress_two=True):

@@ -72,6 +72,18 @@ class ContinuationModel:
         return cls(mol, backend.overlap, backend.one_rdm, backend.two_rdm,
                    **kw)
 
+    @classmethod
+    def orthonormalized(cls, mol, overlap, one_rdm, two_rdm, **kw):
+        """Construct with the training basis S-orthonormalized once in
+        f64 (continuation.orthonormalize_store) — the production
+        conditioning step: the per-geometry GEP becomes an
+        identity-overlap eigensolve, which keeps the f32 throughput path
+        accurate on near-singular production training overlaps
+        (kappa(S) ~ 2e6 at Zundel-84 collapses the raw f32 solve)."""
+        from .continuation import orthonormalize_store
+        ov, r1, r2 = orthonormalize_store(overlap, one_rdm, two_rdm)
+        return cls(mol, ov, r1, r2, **kw)
+
     # -- core jitted computations (static self via engine hashing) ----------
     @partial(jax.jit, static_argnums=0)
     def _energy(self, coords, overlap, one_rdm, two_rdm):

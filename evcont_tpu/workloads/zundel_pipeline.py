@@ -180,8 +180,11 @@ def stage4_continuation_md(mol, n_train, seed, steps=10000, dt=25.0,
     """NVT continuation MD for one seed with dipole/Mulliken observables
     (reference 04). Returns (trajectory, dipoles, charges)."""
     backend = TRDMIngestBackend().load(workdir, n_train)
-    model = ContinuationModel(mol, backend.overlap, backend.one_rdm,
-                              backend.two_rdm)
+    # production conditioning: orthonormalize the training basis once in
+    # f64 so the f32 on-device MD sees an identity-overlap eigensolve
+    # (raw f32 whitening collapses at this store's kappa(S) ~ 2e6)
+    model = ContinuationModel.orthonormalized(
+        mol, backend.overlap, backend.one_rdm, backend.two_rdm)
     masses = mol.masses_au()
     v0 = np.array(maxwell_boltzmann(jax.random.PRNGKey(seed), masses, T))
     engine = model.engine
@@ -232,8 +235,8 @@ def evaluate_observables(mol, n_train, trajectory, workdir=".",
                                 predicted_rdm1)
 
     backend = TRDMIngestBackend().load(workdir, n_train)
-    model = ContinuationModel(mol, backend.overlap, backend.one_rdm,
-                              backend.two_rdm)
+    model = ContinuationModel.orthonormalized(
+        mol, backend.overlap, backend.one_rdm, backend.two_rdm)
     engine = model.engine
     masses = mol.masses_au()
 
@@ -284,8 +287,8 @@ def stage5_test_potential(mol, n_train, test_geometries, workdir=".",
         backend = TRDMIngestBackend().load(workdir, n_train)
         keep = list(range(N))
         backend.prune_datapoints(keep)
-        model = ContinuationModel(mol, backend.overlap, backend.one_rdm,
-                                  backend.two_rdm)
+        model = ContinuationModel.orthonormalized(
+            mol, backend.overlap, backend.one_rdm, backend.two_rdm)
         ens = np.array([float(model.potential(c)) for c in test])
         np.savetxt(os.path.join(workdir, f"pes_subset_{N}.txt"), ens)
         results[N] = ens
