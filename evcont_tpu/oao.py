@@ -67,25 +67,50 @@ def _loewdin_trafo_jvp(primals, tangents):
     return primal_out, d_out
 
 
-def loewdin_trafo_refined(overlap_mat, steps=2):
-    """S^(-1/2) to full working precision via Newton-Schulz refinement.
+def polished_eigh(A, vals, vecs, gap_floor_rel=1.0e-6):
+    """First-order polish of a full (possibly inaccurate) eigendecomposition
+    of symmetric A, using only matmuls and elementwise ops.
 
-    The eigh-based loewdin_trafo seed is polished with
-        X <- X (3 I - S X X) / 2
-    (quadratic convergence for SPD S when the seed commutes with S, which
-    an eigh-based seed does to its own accuracy). Rationale: XLA:TPU's
-    f64 eigh delivers only ~6e-9 relative accuracy (measured — it is the
-    one TPU primitive that is not genuinely double precision), while f64
-    matmuls are exact to ~4e-15; two matmul-only refinement steps restore
-    full f64 accuracy. Requires a nonsingular overlap — true for AO
-    overlap matrices; the near-singular *training* overlap is handled by
-    the GEP whitening cutoff, never by this function."""
-    X = loewdin_trafo(overlap_mat)
-    eye3 = 3.0 * jnp.eye(overlap_mat.shape[0], dtype=overlap_mat.dtype)
-    for _ in range(steps):
-        X = 0.5 * (X @ (eye3 - overlap_mat @ X @ X))
-        X = 0.5 * (X + X.T)
-    return X
+    B = V^T A V is nearly diagonal when V is nearly exact; the corrections
+        vals'  = diag(B)                       (Rayleigh quotients: 2nd order)
+        V'     = V (I + C),  C[q,p] = B[q,p] / (vals[p] - vals[q])
+    remove the leading eigenpair errors wherever the gap is resolvable.
+    Unresolvable gaps (|gap| < gap_floor_rel * spread) are skipped — the
+    rotation inside a (near-)degenerate block is gauge for any matrix
+    function f(A), so those directions never matter downstream.
+
+    Rationale: XLA:TPU's f64 eigh delivers only ~6e-9 relative accuracy
+    (measured — it is the one TPU primitive that is not genuinely double
+    precision) while f64 matmuls are exact to ~4e-15. Note the one-sided
+    Newton-Schulz inverse-sqrt iteration is NOT a usable alternative: it
+    amplifies the non-commuting part of the seed error (verified to
+    diverge geometrically on real AO overlaps)."""
+    B = vecs.T @ (A @ vecs)
+    d = jnp.diag(B)
+    scale = jnp.maximum(jnp.max(d) - jnp.min(d), 1e-300)
+    den = d[None, :] - d[:, None]            # vals[p] - vals[q] at [q, p]
+    safe = jnp.where(jnp.abs(den) > gap_floor_rel * scale, den, jnp.inf)
+    C = B / safe                             # off-diagonal only (diag -> 0)
+    vecs = vecs + vecs @ C
+    # first-order orthonormality restore (C is antisymmetric to leading
+    # order; column renormalization removes the quadratic norm drift)
+    vecs = vecs / jnp.linalg.norm(vecs, axis=0, keepdims=True)
+    return d, vecs
+
+
+def loewdin_trafo_refined(overlap_mat):
+    """S^(-1/2) at full working precision on any backend: eigh + the
+    matmul-exact first-order polish of both eigenvalues and eigenvectors
+    (see polished_eigh). On CPU this is a no-op refinement; on TPU it
+    repairs the backend eigh's ~6e-9 error, which otherwise propagates
+    linearly into the OAO integrals. Pseudo-inverse cutoff semantics
+    match loewdin_trafo."""
+    vals, vecs = jnp.linalg.eigh(overlap_mat)
+    vals, vecs = polished_eigh(overlap_mat, vals, vecs)
+    inv_sqrt = jnp.where(
+        vals > LOEWDIN_CUTOFF,
+        1.0 / jnp.sqrt(jnp.maximum(vals, LOEWDIN_CUTOFF)), 0.0)
+    return (vecs * inv_sqrt) @ vecs.T
 
 
 def get_basis(bundle_ovlp):

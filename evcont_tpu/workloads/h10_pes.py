@@ -26,14 +26,45 @@ from ..solvers.scf import rhf_from_engine
 from .common import h_chain
 
 
+def _rdm_force_fn(eng):
+    """Jitted (E, grad) of the generalized Hellmann-Feynman functional
+    E = sum(rdm1 h1) + 1/2 sum(rdm2 h2) + E_nuc at FIXED OAO RDMs. The
+    RDMs enter as traced arguments so ONE compilation serves every
+    geometry of a scan (eager autodiff through the integral engine is
+    ~100x slower per call)."""
+    import jax
+    import jax.numpy as jnp
+    from ..continuation import oao_integrals
+
+    @jax.jit
+    def f(coords, rdm1, rdm2):
+        def e_fn(c):
+            h1c, h2c, enuc = oao_integrals(eng, c)
+            return jnp.sum(rdm1 * h1c) \
+                + 0.5 * jnp.einsum("pqrs,pqrs->", rdm2, h2c) + enuc
+        return jax.value_and_grad(e_fn)(coords)
+    return f
+
+
+_FORCE_FNS = {}
+
+
+def _force_fn(eng):
+    key = (eng.mol.symbols, eng.mol.basis)
+    if key not in _FORCE_FNS:
+        _FORCE_FNS[key] = _rdm_force_fn(eng)
+    return _FORCE_FNS[key]
+
+
 def hf_energy_and_force(eng, coords):
     """RHF energy and ANALYTIC force: SCF stationarity makes the gradient
     of the HF energy functional at fixed OAO density exact, with the Pulay
     terms carried by the autodiffed OAO-integral transform (the TPU-native
-    equivalent of pyscf's RHF nuc_grad_method)."""
-    import jax
-    import jax.numpy as jnp
-    from ..continuation import oao_integrals
+    equivalent of pyscf's RHF nuc_grad_method). Expressed through the
+    RDM-functional kernel: rdm1 = D, rdm2 = D x D - 1/2 D_il D_kj (the
+    closed-shell HF 2-RDM), so the same jitted function serves HF and FCI
+    oracles."""
+    import numpy as _np
 
     coords = np.asarray(coords)
     res = rhf_from_engine(eng, coords=coords)
@@ -41,16 +72,10 @@ def hf_energy_and_force(eng, coords):
     S = np.array(b.ovlp)
     w, U = np.linalg.eigh(S)
     S_half = (U * np.sqrt(w)) @ U.T
-    D = jnp.asarray(S_half @ res.dm @ S_half)   # density in the OAO basis
-
-    def e_fn(c):
-        h1, h2, enuc = oao_integrals(eng, c)
-        J = jnp.einsum("ij,ijkl->kl", D, h2)
-        K = jnp.einsum("kl,ikjl->ij", D, h2)
-        return jnp.sum(D * h1) + 0.5 * jnp.sum(D * J) \
-            - 0.25 * jnp.sum(D * K) + enuc
-
-    e, g = jax.value_and_grad(e_fn)(jnp.asarray(coords))
+    D = S_half @ res.dm @ S_half            # density in the OAO basis
+    rdm2 = _np.einsum("ij,kl->ijkl", D, D) \
+        - 0.5 * _np.einsum("il,kj->ijkl", D, D)
+    e, g = _force_fn(eng)(coords, D, rdm2)
     return float(e), -np.array(g)
 
 
@@ -61,24 +86,13 @@ def fci_energy_and_force(eng, solver, coords):
     response). This replaces the round-1 finite-difference check and
     matches the reference's CASCI(10,10).nuc_grad_method() oracle
     (H10_continuation_3D_replacements.py:161)."""
-    import jax
-    import jax.numpy as jnp
-    from ..continuation import oao_integrals
-
     coords = np.asarray(coords)
     b = eng.compute_jit(coords)
     trafo = np.array(loewdin_trafo(b.ovlp))
     h1, h2 = transform_integrals(np.array(b.hcore), np.array(b.eri), trafo)
     e_elec, civec = solver.kernel(np.array(h1), np.array(h2))
     rdm1, rdm2 = solver.trans_rdm12(civec, civec)
-    rdm1, rdm2 = jnp.asarray(rdm1), jnp.asarray(rdm2)
-
-    def e_fn(c):
-        h1c, h2c, enuc = oao_integrals(eng, c)
-        return jnp.sum(rdm1 * h1c) \
-            + 0.5 * jnp.einsum("pqrs,pqrs->", rdm2, h2c) + enuc
-
-    e, g = jax.value_and_grad(e_fn)(jnp.asarray(coords))
+    e, g = _force_fn(eng)(coords, rdm1, rdm2)
     return float(e), -np.array(g)
 
 

@@ -23,27 +23,36 @@ def chain(d, n=4, basis="sto-3g"):
     return Molecule.build([("H", (x, 0.0, 0.0)) for x in xs], basis=basis)
 
 
-def test_newton_schulz_refines_degraded_seed():
-    """Loewdin refinement recovers full f64 accuracy from a seed with
-    ~1e-8 relative error (the measured accuracy of XLA:TPU's f64 eigh)."""
+def test_polished_eigh_repairs_degraded_decomposition():
+    """polished_eigh must recover full f64 accuracy of S^(-1/2) from an
+    eigendecomposition degraded at the TPU-eigh error level (~6e-9
+    basis rotation + relative eigenvalue error). Note: the one-sided
+    Newton-Schulz inverse-sqrt iteration does NOT work here — it
+    amplifies non-commuting seed error (diverges geometrically on real
+    AO overlaps), which is why the polish is matmul+elementwise only."""
+    import jax.numpy as jnp
+    from scipy.linalg import expm
+    from evcont_tpu.oao import polished_eigh
+
     rng = np.random.default_rng(3)
     A = rng.standard_normal((12, 12))
     S = A @ A.T + 12 * np.eye(12)
     w, V = np.linalg.eigh(S)
     X_exact = (V / np.sqrt(w)) @ V.T
 
+    K = 6e-9 * rng.standard_normal((12, 12))
+    Vp = V @ expm(0.5 * (K - K.T))
+    wp = w * (1.0 + 6e-9 * rng.standard_normal(12))
+    X_bad = (Vp / np.sqrt(wp)) @ Vp.T
+    assert np.abs(X_bad - X_exact).max() > 1e-10   # degradation visible
+
+    wq, Vq = polished_eigh(jnp.asarray(S), jnp.asarray(wp),
+                           jnp.asarray(Vp))
+    X_pol = (np.asarray(Vq) / np.sqrt(np.asarray(wq))) @ np.asarray(Vq).T
+    assert np.abs(X_pol - X_exact).max() < 1e-12
+
+    # public function from the true eigh seed: exact on CPU
     import jax
-    # degraded seed: exact X perturbed at the TPU-eigh error level
-    X0 = X_exact * (1.0 + 1e-8) + 1e-8 * (V @ V.T)
-
-    Seye = 3.0 * np.eye(12)
-    X = X0
-    for _ in range(2):
-        X = 0.5 * (X @ (Seye - S @ X @ X))
-        X = 0.5 * (X + X.T)
-    assert np.abs(X - X_exact).max() < 1e-13
-
-    # and the public function from the true eigh seed
     Xr = np.asarray(loewdin_trafo_refined(jax.numpy.asarray(S)))
     assert np.abs(Xr - X_exact).max() < 1e-12
 
