@@ -33,7 +33,7 @@ Precision ladder (reported on stderr), all rungs vs CPU f64:
               MXU passes amplify to multi-Ha errors here)
   exact asm — error-free TwoProd/TwoSum contraction over the f32 store
               (subspace/compensated.py); residual = f32 integral pipeline
-  precise   — emulated-f64 integrals + Newton-Schulz-refined Löwdin +
+  precise   — emulated-f64 integrals + eigh-polished Löwdin +
               exact f32-store assembly + f64 GEP + Hellmann-Feynman forces
               (model.potential_and_forces_precise) — the accuracy mode,
               targeting the 1e-8 Ha / 1e-6 Ha/Bohr north star on f32
@@ -67,8 +67,16 @@ def store_shapes(nao):
 
 def make_store_device(nao):
     """Synthetic pair-compressed store, generated on device from
-    backend-deterministic random bits; every value is exactly
-    f32-representable (k * 2^-24 arithmetic)."""
+    backend-deterministic random bits (threefry integer arithmetic).
+
+    Every floating step is EXACT under any operation reassociation:
+    16-bit centered integers scaled by powers of two, and the only
+    addition (eye + perturbation, symmetrized) stays within the f32
+    mantissa. This matters: XLA's backend-specific algebraic rewrites
+    round `(u - 0.5) * scale` differently on TPU vs CPU (measured: 1-ulp
+    store differences producing a false 2.7e-8 Ha floor in the precision
+    ladder). With exact construction the CPU-f64 reference reconstructs
+    the identical store; the main process cross-checks a store hash."""
     import jax
     import jax.numpy as jnp
 
@@ -76,21 +84,28 @@ def make_store_device(nao):
     key = jax.random.PRNGKey(SEED)
     k_ov, k_r1, k_r2 = jax.random.split(key, 3)
 
-    def uniform_pm(k, shape, scale):
+    def centered16(k, shape):
         bits = jax.random.bits(k, shape, dtype=jnp.uint32)
-        u = (bits >> 8).astype(jnp.float32) * jnp.float32(2.0 ** -24)
-        return (u - jnp.float32(0.5)) * jnp.float32(scale)
+        return (bits >> 16).astype(jnp.float32) - jnp.float32(32768.0)
 
     @jax.jit
     def build():
-        ov = jnp.eye(NTRAIN, dtype=jnp.float32) \
-            + uniform_pm(k_ov, (NTRAIN, NTRAIN), 0.2)
-        ov = 0.5 * (ov + ov.T)
-        r1 = uniform_pm(k_r1, (npair, nao, nao), 0.02)
-        r2 = uniform_pm(k_r2, (npair, npacked), 0.002)
+        # ov = I + symmetric perturbation, entries 1 + m * 2^-19 (exact)
+        v = centered16(k_ov, (NTRAIN, NTRAIN)) * jnp.float32(2.0 ** -18)
+        ov = jnp.eye(NTRAIN, dtype=jnp.float32) + 0.5 * (v + v.T)
+        r1 = centered16(k_r1, (npair, nao, nao)) * jnp.float32(2.0 ** -21)
+        r2 = centered16(k_r2, (npair, npacked)) * jnp.float32(2.0 ** -25)
         return ov, r1, r2
 
     return build()
+
+
+def store_hash(ov):
+    """Hash of the (small) training-overlap block, used to verify the
+    TPU and CPU processes built bitwise-identical stores."""
+    import hashlib
+    return hashlib.md5(np.asarray(ov, dtype=np.float32)
+                       .tobytes()).hexdigest()
 
 
 def eval_geometry(batch_size=1):
@@ -166,7 +181,7 @@ def worker_tpu32():
         "evals_per_sec": evals_per_sec, "batch": batch_used,
         "rep_times": rep_times, "e_f32": float(e_f32),
         "f_f32": np.asarray(f_f32, dtype=np.float64).ravel().tolist(),
-        "e_comp": e_comp,
+        "e_comp": e_comp, "store_md5": store_hash(model.overlap),
     }))
 
 
@@ -186,7 +201,8 @@ def worker_tpu64():
     float(e2), np.asarray(f2)
     print(f"[bench] precise first {t_first:.1f} s, warm "
           f"{time.time() - t0:.2f} s/eval", file=sys.stderr)
-    print(json.dumps({"e_precise": e, "f_precise": f.ravel().tolist()}))
+    print(json.dumps({"e_precise": e, "f_precise": f.ravel().tolist(),
+                      "store_md5": store_hash(model.overlap)}))
 
 
 def worker_cpu():
@@ -205,7 +221,8 @@ def worker_cpu():
     float(e2), np.asarray(f2)
     dt = time.time() - t0
     print(json.dumps({"cpu_eval_seconds": dt, "energy": e,
-                      "forces": f.ravel().tolist()}))
+                      "forces": f.ravel().tolist(),
+                      "store_md5": store_hash(model.overlap)}))
 
 
 def _run_worker(name, timeout=7200):
@@ -228,6 +245,13 @@ def main():
         print(f"[bench] precise rung failed: {err}", file=sys.stderr)
         r64 = None
     ref = _run_worker("cpu")
+
+    hashes = {r.get("store_md5") for r in (r32, r64, ref)
+              if r is not None}
+    if len(hashes) != 1:
+        print(f"[bench] WARNING: store hashes differ across processes "
+              f"({hashes}) — the numerics ladder is not comparing "
+              "identical models", file=sys.stderr)
 
     cpu_evals_per_sec = 1.0 / ref["cpu_eval_seconds"]
     e_ref = ref["energy"]
