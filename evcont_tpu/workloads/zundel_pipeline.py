@@ -173,18 +173,32 @@ def stage3_pair_trdm(mol, i, j, workdir="."):
             np.array(compress_exchange(jnp.asarray(rdm2))))
 
 
+
+def _orthonormalized_model(mol, workdir, n_train):
+    """Build the production-conditioned model: training basis
+    orthonormalized once in f64 (raw f32 whitening collapses at the
+    84-state store's kappa(S) ~ 2e6) and cached on disk in f64, so the
+    per-seed MD/observable jobs skip both the 3,570-file reload and the
+    transform (an f32 process downcasts on device transfer)."""
+    cache = os.path.join(workdir, f"ortho_store_{n_train}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return ContinuationModel(mol, z["ov"], z["r1"], z["r2"])
+    backend = TRDMIngestBackend().load(workdir, n_train)
+    from ..continuation import orthonormalize_store
+    ov, r1, r2 = orthonormalize_store(backend.overlap, backend.one_rdm,
+                                      backend.two_rdm)
+    np.savez(cache, ov=ov, r1=r1, r2=r2)
+    return ContinuationModel(mol, ov, r1, r2)
+
+
 # ---------------------------------------------------------------------------
 def stage4_continuation_md(mol, n_train, seed, steps=10000, dt=25.0,
                            T=298.15, taut=250.0, workdir=".",
                            observable_stride=1):
     """NVT continuation MD for one seed with dipole/Mulliken observables
     (reference 04). Returns (trajectory, dipoles, charges)."""
-    backend = TRDMIngestBackend().load(workdir, n_train)
-    # production conditioning: orthonormalize the training basis once in
-    # f64 so the f32 on-device MD sees an identity-overlap eigensolve
-    # (raw f32 whitening collapses at this store's kappa(S) ~ 2e6)
-    model = ContinuationModel.orthonormalized(
-        mol, backend.overlap, backend.one_rdm, backend.two_rdm)
+    model = _orthonormalized_model(mol, workdir, n_train)
     masses = mol.masses_au()
     v0 = np.array(maxwell_boltzmann(jax.random.PRNGKey(seed), masses, T))
     engine = model.engine
@@ -234,9 +248,7 @@ def evaluate_observables(mol, n_train, trajectory, workdir=".",
     from ..continuation import (oao_integrals, approximate_ground_state,
                                 predicted_rdm1)
 
-    backend = TRDMIngestBackend().load(workdir, n_train)
-    model = ContinuationModel.orthonormalized(
-        mol, backend.overlap, backend.one_rdm, backend.two_rdm)
+    model = _orthonormalized_model(mol, workdir, n_train)
     engine = model.engine
     masses = mol.masses_au()
 
