@@ -236,6 +236,55 @@ def stage4_continuation_md(mol, n_train, seed, steps=10000, dt=25.0,
     return coords, dips, charges
 
 
+def stage4_continuation_md_ensemble(mol, n_train, seeds, steps=10000,
+                                    dt=25.0, T=298.15, taut=250.0,
+                                    workdir=".", chunk_steps=500):
+    """All NVT seeds as ONE vmapped on-device scan — the TPU-native form
+    of the reference's job-array ensemble (one process per seed,
+    04_Zundel_continuation_MD.py:32). The per-pair t-RDM contraction over
+    the multi-GB store is bandwidth-bound, so a batch of trajectories
+    advances at nearly the cost of one. Writes the same per-seed artifact
+    files as stage4_continuation_md."""
+    import jax
+    import jax.numpy as jnp
+    from ..md.integrators import run_nvt_berendsen
+
+    model = _orthonormalized_model(mol, workdir, n_train)
+    masses = mol.masses_au()
+    energy_fn, store = model.energy_fn_with_store()
+    v0 = np.stack([
+        np.array(maxwell_boltzmann(jax.random.PRNGKey(s_), masses, T))
+        for s_ in seeds])
+    c0 = np.broadcast_to(np.asarray(mol.coords), v0.shape).copy()
+
+    n_chunks = -(-steps // chunk_steps)
+
+    @jax.jit
+    def run_chunk(c, v, ov, r1, r2):
+        efn = lambda cc: energy_fn(cc, ov, r1, r2)
+        return jax.vmap(
+            lambda ci, vi: run_nvt_berendsen(efn, masses, ci, vi, dt,
+                                             chunk_steps, T, taut)
+        )(c, v)
+
+    parts = []
+    for _ in range(n_chunks):
+        out = jax.tree_util.tree_map(np.array, run_chunk(
+            jnp.asarray(c0), jnp.asarray(v0), *store))
+        parts.append(out)
+        c0 = out["coords"][:, -1]
+        v0 = out["veloc"][:, -1]
+    out = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=1)[:, :steps], *parts)
+
+    for k, s_ in enumerate(seeds):
+        np.save(os.path.join(workdir, f"trajectory_seed{s_}.npy"),
+                out["coords"][k])
+        np.savetxt(os.path.join(workdir, f"epot_seed{s_}.txt"),
+                   out["epot"][k])
+    return out
+
+
 # ---------------------------------------------------------------------------
 def evaluate_observables(mol, n_train, trajectory, workdir=".",
                          chunk_size=16):

@@ -161,3 +161,26 @@ def test_zundel_reference_md_baselines(tmp_path):
     e_cc = _energy_fn("ccsd", eng, mol)(c)
     ehf, _ = energy_and_force("hf", eng, mol, c)
     assert e_cc < ehf  # correlation lowers the energy
+
+
+def test_zundel_stage4_ensemble(tmp_path):
+    """The vmapped multi-seed stage 4 must produce per-seed trajectories
+    matching the single-seed driver's dynamics shape-wise and starting
+    from the same Maxwell-Boltzmann draws."""
+    from evcont_tpu.workloads import zundel_pipeline as zp
+    mol = water("sto-3g")
+    rng = np.random.default_rng(0)
+    pool = np.asarray(mol.coords)[None] \
+        + 0.08 * rng.standard_normal((8, mol.natm, 3))
+    wd = str(tmp_path)
+    zp.stage1_select_training_set(mol, [pool], 2, workdir=wd)
+    for i in range(2):
+        zp.stage2_solve_training_state(mol, i, workdir=wd)
+        for j in range(i + 1):
+            zp.stage3_pair_trdm(mol, i, j, workdir=wd)
+    out = zp.stage4_continuation_md_ensemble(
+        mol, 2, seeds=(3, 4), steps=7, dt=10.0, workdir=wd, chunk_steps=4)
+    assert out["coords"].shape == (2, 7, 3, 3)
+    assert np.all(np.isfinite(out["epot"]))
+    # seeds differ (independent Maxwell-Boltzmann draws)
+    assert np.abs(out["coords"][0] - out["coords"][1]).max() > 1e-6
