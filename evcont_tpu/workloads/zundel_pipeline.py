@@ -241,10 +241,12 @@ def stage4_continuation_md_ensemble(mol, n_train, seeds, steps=10000,
                                     workdir=".", chunk_steps=500):
     """All NVT seeds as ONE vmapped on-device scan — the TPU-native form
     of the reference's job-array ensemble (one process per seed,
-    04_Zundel_continuation_MD.py:32). The per-pair t-RDM contraction over
-    the multi-GB store is bandwidth-bound, so a batch of trajectories
-    advances at nearly the cost of one. Writes the same per-seed artifact
-    files as stage4_continuation_md."""
+    04_Zundel_continuation_MD.py:32). Measured at the 84-state production
+    scale: 2 seeds x 10k steps in 2957 s vs 1199 s for one — per-seed
+    cost is roughly flat (the step is NOT dominated by the store
+    bandwidth at this size; see ROADMAP profiling item), so the win is
+    operational (one process, shared compile) rather than throughput.
+    Writes the same per-seed artifact files as stage4_continuation_md."""
     import jax
     import jax.numpy as jnp
     from ..md.integrators import run_nvt_berendsen
