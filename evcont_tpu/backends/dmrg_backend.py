@@ -41,7 +41,7 @@ def reference_ladder(max_bond_dim=256):
 class DMRGBackend(EVContBackend):
     def __init__(self, bond_dims=None, sweeps_per_dim=2,
                  penalty=8.0, trdm_method="dense", max_bond_dim=256,
-                 workdir=None, tolerance=1.0e-4):
+                 workdir=None, tolerance=1.0e-4, device=False):
         """
         Args:
             bond_dims: bond-dimension ladder; defaults to the reference's
@@ -54,6 +54,9 @@ class DMRGBackend(EVContBackend):
                 converge_dmrg driver — per-rung noise decay, result
                 logging, MPS save/restart under this directory.
             tolerance: converge_dmrg energy tolerance.
+            device: route the sweeps through the jitted static-shape
+                two-site kernel (solvers/dmrg_jax) so the solver FLOPs
+                run on the accelerator.
         """
         super().__init__()
         self.bond_dims = tuple(bond_dims) if bond_dims is not None \
@@ -64,6 +67,7 @@ class DMRGBackend(EVContBackend):
         self.trdm_method = trdm_method
         self.workdir = workdir
         self.tolerance = tolerance
+        self.device = device
         self.civecs = []
         self.mps_states = []
         self._solver = None
@@ -93,15 +97,24 @@ class DMRGBackend(EVContBackend):
                 bond_dim_schedule=np.array(list(self.bond_dims)
                                            + [self.bond_dims[-1]]),
                 tolerance=self.tolerance, restart_tag=tag,
-                workdir=self.workdir, penalty=self.penalty)
+                workdir=self.workdir, penalty=self.penalty,
+                device=self.device)
         else:
-            from ..solvers.dmrg import build_hamiltonian_mpo_fast
-            W = build_hamiltonian_mpo_fast(
-                h1, h2, cutoff=1e-12 if norb <= 10 else 1e-9)
-            e, mps = dmrg_ground_state(
-                W, 2 * norb, na + nb, sz=0.5 * (na - nb),
-                bond_dims=self.bond_dims,
-                sweeps_per_dim=self.sweeps_per_dim, penalty=self.penalty)
+            if self.device:
+                from ..solvers.dmrg_jax import dmrg_ground_state_device
+                e, mps = dmrg_ground_state_device(
+                    h1, h2, (na, nb), bond_dims=self.bond_dims,
+                    sweeps_per_dim=self.sweeps_per_dim,
+                    penalty=self.penalty)
+            else:
+                from ..solvers.dmrg import build_hamiltonian_mpo_fast
+                W = build_hamiltonian_mpo_fast(
+                    h1, h2, cutoff=1e-12 if norb <= 10 else 1e-9)
+                e, mps = dmrg_ground_state(
+                    W, 2 * norb, na + nb, sz=0.5 * (na - nb),
+                    bond_dims=self.bond_dims,
+                    sweeps_per_dim=self.sweeps_per_dim,
+                    penalty=self.penalty)
         self.ens.append(e + float(bundle.enuc))
         self.mol_index.append(
             0 if not self.mol_index else max(self.mol_index) + 1)

@@ -24,6 +24,19 @@ _STO6G_1S_E = [23.10303149, 4.235915534, 1.185056519,
 _STO6G_1S_C = [0.009163596281, 0.04936149294, 0.1685383049,
                0.3705627997, 0.4164915298, 0.1303340841]
 
+# STO-6G universal zeta=1 2s/2p expansion (shared exponents), re-derived in
+# this repo by the same overlap-maximizing least-squares fit the STO-NG
+# papers use (Hehre, Stewart, Pople 1969): fit a zeta=1 Slater 2s and 2p to
+# six Gaussians with common exponents, coefficients solved exactly per
+# exponent set. The identical procedure reproduces the published STO-3G
+# 1s/2sp tables and the STO-6G 1s row above to <=1e-5, validating these.
+_STO6G_2SP_E = [10.30873913, 2.040366606, 0.6341439136,
+                0.2439779874, 0.1059597595, 0.04856909431]
+_STO6G_2S_C = [-0.01325272674, -0.04699160236, -0.03378569614,
+               0.2502405863, 0.5951172883, 0.2407074853]
+_STO6G_2P_C = [0.003759666589, 0.03767919938, 0.1738961141,
+               0.4180358089, 0.4258603406, 0.1017089285]
+
 
 def _scale(exps, zeta):
     return [e * zeta * zeta for e in exps]
@@ -51,6 +64,23 @@ BASIS_SETS = {
         ],
     },
     "sto-6g": {
+        # Standard molecular Slater exponents (same zetas as the STO-3G
+        # rows above: 1s/2sp = C 5.67/1.72, N 6.67/1.95, O 7.66/2.25).
+        "C": [
+            (0, _scale(_STO6G_1S_E, 5.67), _STO6G_1S_C),
+            (0, _scale(_STO6G_2SP_E, 1.72), _STO6G_2S_C),
+            (1, _scale(_STO6G_2SP_E, 1.72), _STO6G_2P_C),
+        ],
+        "N": [
+            (0, _scale(_STO6G_1S_E, 6.67), _STO6G_1S_C),
+            (0, _scale(_STO6G_2SP_E, 1.95), _STO6G_2S_C),
+            (1, _scale(_STO6G_2SP_E, 1.95), _STO6G_2P_C),
+        ],
+        "O": [
+            (0, _scale(_STO6G_1S_E, 7.66), _STO6G_1S_C),
+            (0, _scale(_STO6G_2SP_E, 2.25), _STO6G_2S_C),
+            (1, _scale(_STO6G_2SP_E, 2.25), _STO6G_2P_C),
+        ],
         # H uses the standard scale factor zeta = 1.24
         "H": [
             (0, _scale(_STO6G_1S_E, 1.24), _STO6G_1S_C),

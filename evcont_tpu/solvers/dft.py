@@ -1,8 +1,10 @@
-"""Restricted Kohn-Sham DFT (LDA, PBE, B3LYP, CAM-B3LYP) on a Becke grid.
+"""Restricted and unrestricted Kohn-Sham DFT on a Becke grid.
 
-Replaces pyscf.dft's RKS for the reference's DFT baseline MDs
+Replaces pyscf.dft's RKS/UKS for the reference's DFT baseline MDs
 (scripts/MD/H30/md_H30_DFT.py, scripts/MD/H2O-H3O+/md_H2O-H3O+_DFT.py,
-Zundel_thermodynamics/reference_dynamics/Zundel_DFT_{PBE,CAMB3LYP}.py).
+Zundel_thermodynamics/reference_dynamics/Zundel_DFT_{PBE,CAMB3LYP}.py;
+the CAM-B3LYP reference dynamics use dft.UKS, Zundel_DFT_CAMB3LYP.py:55,
+05_Zundel_test_potential_energy.py:161).
 Functionals:
   * "lda"       Slater exchange + Perdew-Zunger 81 correlation
   * "pbe"       PBE exchange (kappa = 0.804, mu = 0.2195...) + PBE
@@ -345,3 +347,361 @@ def rks(engine, coords=None, xc="pbe", n_rad=75, angular="product",
     return RKSResult(
         e_tot=float(e_elec + enuc), e_xc=exc, mo_coeff=C, mo_energy=mo_e,
         dm=dm, converged=converged, nocc=nocc, n_elec_grid=nelec_grid)
+
+
+# ---------------------------------------------------------------------------
+# spin-polarized (unrestricted) Kohn-Sham
+# ---------------------------------------------------------------------------
+# PW92 parameter sets: (A, alpha1, beta1..4) for ec(zeta=0), ec(zeta=1) and
+# the spin stiffness -alpha_c. The zeta=0 channel reuses _eps_c_pw92 above so
+# UKS on a closed shell is bitwise the RKS functional.
+_PW_EC1 = (0.01554535, 0.20548, 14.1189, 6.1977, 3.3662, 0.62517)
+_PW_ALP = (0.0168869, 0.11125, 10.357, 3.6231, 0.88026, 0.49671)
+
+# PZ81 polarized-channel parameters
+_PZ_P = dict(gamma=-0.0843, b1=1.3981, b2=0.2611,
+             A=0.01555, B=-0.0269, C=0.0007, D=-0.0048)
+
+# VWN5 ferromagnetic and spin-stiffness fits (paramagnetic set is above)
+_VWN_F = (0.01554535, -0.32500, 7.06042, 18.0578)
+_VWN_S = (-1.0 / (6.0 * np.pi ** 2), -0.0047584, 1.13107, 13.0045)
+
+_FPP0 = 4.0 / (9.0 * (2.0 ** (1.0 / 3.0) - 1.0))   # f''(0) = 1.7099209...
+
+
+def _f_zeta(zeta):
+    """Spin-interpolation function of the uniform electron gas."""
+    zp = np.clip(1.0 + zeta, 0.0, 2.0)
+    zm = np.clip(1.0 - zeta, 0.0, 2.0)
+    return (zp ** (4.0 / 3.0) + zm ** (4.0 / 3.0) - 2.0) \
+        / (2.0 * (2.0 ** (1.0 / 3.0) - 1.0))
+
+
+def _pw92_G(rs, A, a1, b1, b2, b3, b4):
+    sq = np.sqrt(rs)
+    q0 = -2.0 * A * (1.0 + a1 * rs)
+    q1 = 2.0 * A * (b1 * sq + b2 * rs + b3 * rs * sq + b4 * rs * rs)
+    return q0 * np.log1p(1.0 / np.maximum(q1, 1e-30))
+
+
+def _eps_c_pw92_spin(rs, zeta):
+    ec0 = _eps_c_pw92(rs)
+    ec1 = _pw92_G(rs, *_PW_EC1)
+    alp = -_pw92_G(rs, *_PW_ALP)          # fit targets -alpha_c
+    f = _f_zeta(zeta)
+    z4 = zeta ** 4
+    return ec0 + alp * f / _FPP0 * (1.0 - z4) + (ec1 - ec0) * f * z4
+
+
+def _eps_c_pz_spin(rs, zeta):
+    ecU = _eps_c_pz(rs)
+    lo = rs >= 1.0
+    p = _PZ_P
+    ec_lo = p["gamma"] / (1.0 + p["b1"] * np.sqrt(rs) + p["b2"] * rs)
+    lnrs = np.log(np.maximum(rs, 1e-30))
+    ec_hi = p["A"] * lnrs + p["B"] + p["C"] * rs * lnrs + p["D"] * rs
+    ecP = np.where(lo, ec_lo, ec_hi)
+    return ecU + _f_zeta(zeta) * (ecP - ecU)
+
+
+def _vwn_fit(rs, A, x0, b, c):
+    x = np.sqrt(rs)
+    X = x * x + b * x + c
+    X0 = x0 * x0 + b * x0 + c
+    Q = np.sqrt(4.0 * c - b * b)
+    atn = np.arctan(Q / (2.0 * x + b))
+    return A * (
+        np.log(x * x / X) + 2.0 * b / Q * atn
+        - b * x0 / X0 * (np.log((x - x0) ** 2 / X)
+                         + 2.0 * (b + 2.0 * x0) / Q * atn))
+
+
+def _eps_c_vwn5_spin(rs, zeta):
+    ecP = _eps_c_vwn5(rs)                  # paramagnetic fit (zeta = 0)
+    ecF = _vwn_fit(rs, *_VWN_F)
+    alp = _vwn_fit(rs, *_VWN_S)
+    f = _f_zeta(zeta)
+    z4 = zeta ** 4
+    beta = _FPP0 * (ecF - ecP) / np.where(np.abs(alp) > 1e-30, alp, 1e-30) \
+        - 1.0
+    return ecP + alp * f / _FPP0 * (1.0 + beta * z4)
+
+
+def _ec_lyp_spin(ra, rb, s_aa, s_ab, s_bb):
+    """LYP correlation energy per volume, open shell (Miehlich et al. 1989
+    eq. 2); reduces exactly to _ec_lyp_closed at ra = rb."""
+    rho = np.maximum(ra + rb, 1e-30)
+    ra = np.maximum(ra, 0.0)
+    rb = np.maximum(rb, 0.0)
+    sigma = s_aa + 2.0 * s_ab + s_bb
+    rm13 = rho ** (-1.0 / 3.0)
+    denom = 1.0 + _LYP_D * rm13
+    omega = np.exp(-_LYP_C * rm13) / denom * rho ** (-11.0 / 3.0)
+    delta = _LYP_C * rm13 + _LYP_D * rm13 / denom
+    rab = ra * rb
+    term1 = -4.0 * _LYP_A * rab / (rho * denom)
+    t = (
+        rab * (
+            2.0 ** (11.0 / 3.0) * _CF * (ra ** (8.0 / 3.0)
+                                         + rb ** (8.0 / 3.0))
+            + (47.0 / 18.0 - 7.0 * delta / 18.0) * sigma
+            - (2.5 - delta / 18.0) * (s_aa + s_bb)
+            - (delta - 11.0) / 9.0 * (ra * s_aa + rb * s_bb) / rho
+        )
+        - 2.0 / 3.0 * rho * rho * sigma
+        + (2.0 / 3.0 * rho * rho - ra * ra) * s_bb
+        + (2.0 / 3.0 * rho * rho - rb * rb) * s_aa
+    )
+    return term1 - _LYP_A * _LYP_B * omega * t
+
+
+def _pbe_ex_vol(rho, sigma):
+    """Closed-shell PBE exchange energy per volume."""
+    rho = np.maximum(rho, 1e-30)
+    kf = (3.0 * np.pi ** 2 * rho) ** (1.0 / 3.0)
+    s = np.sqrt(np.maximum(sigma, 0.0)) / np.maximum(2.0 * kf * rho, 1e-30)
+    fx = 1.0 + _PBE_KAPPA - _PBE_KAPPA / (1.0 + _PBE_MU * s * s / _PBE_KAPPA)
+    return rho * _eps_x_lda(rho) * fx
+
+
+def _xc_f_spin(ra, rb, s_aa, s_ab, s_bb, xc):
+    """E_xc density per volume for spin-resolved densities/gradients.
+
+    At ra = rb = rho/2, s_aa = s_ab = s_bb = sigma/4 this equals
+    rho * _xc_energy_density(rho, sigma, xc) for every functional
+    (the UKS == RKS closed-shell identity, asserted in the tests)."""
+    ra = np.maximum(ra, 1e-30)
+    rb = np.maximum(rb, 1e-30)
+    rho = ra + rb
+    zeta = np.clip((ra - rb) / rho, -1.0, 1.0)
+    rs = (3.0 / (4.0 * np.pi * rho)) ** (1.0 / 3.0)
+    # exact spin scaling of LDA exchange
+    ex_lda = 0.5 * ((2.0 * ra) * _eps_x_lda(2.0 * ra)
+                    + (2.0 * rb) * _eps_x_lda(2.0 * rb))
+    if xc == "hf":
+        return np.zeros_like(ra)
+    if xc == "lda":
+        return ex_lda + rho * _eps_c_pz_spin(rs, zeta)
+    if xc in ("b3lyp", "camb3lyp"):
+        eb88_a = _ex_b88_spin(ra, s_aa)
+        eb88_b = _ex_b88_spin(rb, s_bb)
+        e_lyp = _ec_lyp_spin(ra, rb, s_aa, s_ab, s_bb)
+        if xc == "b3lyp":
+            ex = 0.08 * ex_lda + 0.72 * (eb88_a + eb88_b)
+        else:
+            alpha, beta, omega_rs = 0.19, 0.46, 0.33
+            ex = 0.0
+            for r_s, e_s in ((ra, eb88_a), (rb, eb88_b)):
+                K_s = -2.0 * e_s / r_s ** (4.0 / 3.0)
+                a = omega_rs * np.sqrt(np.maximum(K_s, 1e-30)) \
+                    / (6.0 * np.sqrt(np.pi) * r_s ** (1.0 / 3.0))
+                ex = ex + (1.0 - alpha - beta * _cam_lr_fraction(a)) * e_s
+        ec = 0.19 * rho * _eps_c_vwn5_spin(rs, zeta) + 0.81 * e_lyp
+        return ex + ec
+    # PBE: exchange by spin scaling, correlation with phi(zeta)
+    ex = 0.5 * (_pbe_ex_vol(2.0 * ra, 4.0 * s_aa)
+                + _pbe_ex_vol(2.0 * rb, 4.0 * s_bb))
+    sigma = np.maximum(s_aa + 2.0 * s_ab + s_bb, 0.0)
+    eps_c0 = _eps_c_pw92_spin(rs, zeta)
+    phi = 0.5 * ((1.0 + zeta) ** (2.0 / 3.0) + (1.0 - zeta) ** (2.0 / 3.0))
+    kf = (3.0 * np.pi ** 2 * rho) ** (1.0 / 3.0)
+    ks = np.sqrt(4.0 * kf / np.pi)
+    t = np.sqrt(sigma) / np.maximum(2.0 * phi * ks * rho, 1e-30)
+    gphi3 = _PBE_GAMMA * phi ** 3
+    expo = np.exp(-eps_c0 / np.maximum(gphi3, 1e-30))
+    A = _PBE_BETA / _PBE_GAMMA / np.maximum(expo - 1.0, 1e-30)
+    t2 = t * t
+    num = 1.0 + A * t2
+    den = 1.0 + A * t2 + A * A * t2 * t2
+    H = gphi3 * np.log1p(_PBE_BETA / _PBE_GAMMA * t2 * num / den)
+    return ex + rho * (eps_c0 + H)
+
+
+def _exc_and_v_spin(ra, rb, s_aa, s_ab, s_bb, xc, rho_cutoff=1e-10):
+    """f = E_xc per volume and its five partial derivatives by central
+    differences (see _exc_and_v for the screening rationale)."""
+    live = (ra + rb) > rho_cutoff
+
+    def f(*args):
+        return _xc_f_spin(*args, xc)
+
+    args = [ra, rb, s_aa, s_ab, s_bb]
+    f0 = np.where(live, f(*args), 0.0)
+    derivs = []
+    gga = xc != "lda" and xc != "hf"
+    for k in range(5):
+        if k >= 2 and not gga:
+            derivs.append(np.zeros_like(ra))
+            continue
+        x = args[k]
+        h = np.maximum(np.abs(x) * 1e-6, 1e-12 if k < 2 else 1e-16)
+        up = list(args)
+        dn = list(args)
+        up[k] = x + h
+        dn[k] = x - h
+        derivs.append(np.where(live, (f(*up) - f(*dn)) / (2.0 * h), 0.0))
+    return f0, derivs
+
+
+@dataclass
+class UKSResult:
+    e_tot: float
+    e_xc: float
+    mo_coeff: tuple
+    mo_energy: tuple
+    dm: tuple
+    converged: bool
+    nocc: tuple
+    n_elec_grid: float
+    spin_sq: float
+
+
+def uks(engine, coords=None, xc="pbe", n_rad=75, angular="product",
+        max_cycle=80, conv_tol=1e-8, diis_size=8, level_shift=0.0,
+        guess_mix=0.0):
+    """Unrestricted Kohn-Sham SCF (the reference's dft.UKS baseline,
+    Zundel_DFT_CAMB3LYP.py:55). xc in {lda, pbe, b3lyp, camb3lyp, hf};
+    'hf' makes this a plain UHF through the same loop.
+
+    guess_mix > 0 rotates the alpha HOMO/LUMO of the initial guess to break
+    spin symmetry (for UHF solutions of stretched closed-shell systems)."""
+    coords = np.asarray(engine.mol.coords if coords is None else coords)
+    mol = engine.mol.set_geom(coords)
+    bundle = engine.compute_jit(coords)
+    S = np.array(bundle.ovlp)
+    h = np.array(bundle.hcore)
+    g = np.array(bundle.eri)
+    enuc = float(bundle.enuc)
+    na, nb = mol.nelec
+
+    hyb = _HYBRIDS.get(xc, dict(c_hf=0.0, c_lr=0.0, omega=0.0))
+    g_lr = None
+    if hyb["c_lr"]:
+        import jax
+        g_lr = np.array(jax.jit(
+            lambda c: engine.eri(c, omega=hyb["omega"]))(coords))
+
+    points, wts = molecular_grid(mol, n_rad=n_rad, angular=angular)
+    phi, dphi = eval_aos(engine, points, deriv=True)
+
+    vals, vecs = np.linalg.eigh(S)
+    keep = vals > 1e-12
+    X = vecs[:, keep] / np.sqrt(vals[keep])
+
+    def solve(F):
+        e, cp = np.linalg.eigh(X.T @ F @ X)
+        return e, X @ cp
+
+    mo_e0, C0 = solve(h)
+    Ca, Cb = C0.copy(), C0.copy()
+    if guess_mix > 0.0 and na > 0 and C0.shape[1] > na:
+        th = float(guess_mix)
+        homo, lumo = Ca[:, na - 1].copy(), Ca[:, na].copy()
+        Ca[:, na - 1] = np.cos(th) * homo + np.sin(th) * lumo
+        Ca[:, na] = -np.sin(th) * homo + np.cos(th) * lumo
+    dma = Ca[:, :na] @ Ca[:, :na].T if na else np.zeros_like(S)
+    dmb = Cb[:, :nb] @ Cb[:, :nb].T if nb else np.zeros_like(S)
+
+    def K(dm, tensor):
+        return np.einsum("kl,ikjl->ij", dm, tensor, optimize=True)
+
+    diis_F, diis_err = [], []
+    e_old, converged = 0.0, False
+    exc = 0.0
+    nelec_grid = 0.0
+    mo_ea = mo_eb = mo_e0
+    for cycle in range(max_cycle):
+        dmt = dma + dmb
+        J = np.einsum("ij,ijkl->kl", dmt, g, optimize=True)
+        rho_a = np.einsum("ni,ij,nj->n", phi, dma, phi, optimize=True)
+        rho_b = np.einsum("ni,ij,nj->n", phi, dmb, phi, optimize=True)
+        gr_a = 2.0 * np.einsum("ndi,ij,nj->nd", dphi, dma, phi,
+                               optimize=True)
+        gr_b = 2.0 * np.einsum("ndi,ij,nj->nd", dphi, dmb, phi,
+                               optimize=True)
+        s_aa = np.sum(gr_a * gr_a, axis=1)
+        s_ab = np.sum(gr_a * gr_b, axis=1)
+        s_bb = np.sum(gr_b * gr_b, axis=1)
+        fxc, (vra, vrb, vsaa, vsab, vsbb) = _exc_and_v_spin(
+            rho_a, rho_b, s_aa, s_ab, s_bb, xc)
+        exc = float(np.sum(wts * fxc))
+        nelec_grid = float(np.sum(wts * (rho_a + rho_b)))
+
+        def vxc_mat(vr, vs_self, vs_cross, gr_self, gr_cross):
+            V = np.einsum("n,ni,nj->ij", wts * vr, phi, phi, optimize=True)
+            if xc not in ("lda", "hf"):
+                vec = (2.0 * vs_self[:, None] * gr_self
+                       + vs_cross[:, None] * gr_cross)
+                t = np.einsum("n,nd,ndi,nj->ij", wts, vec, dphi, phi,
+                              optimize=True)
+                V += t + t.T
+            return V
+
+        Va = vxc_mat(vra, vsaa, vsab, gr_a, gr_b)
+        Vb = vxc_mat(vrb, vsbb, vsab, gr_b, gr_a)
+        Ka = Kb = 0.0
+        if hyb["c_hf"]:
+            Ka = hyb["c_hf"] * K(dma, g)
+            Kb = hyb["c_hf"] * K(dmb, g)
+        if hyb["c_lr"]:
+            Ka = Ka + hyb["c_lr"] * K(dma, g_lr)
+            Kb = Kb + hyb["c_lr"] * K(dmb, g_lr)
+        Fa = h + J + Va - Ka
+        Fb = h + J + Vb - Kb
+        if level_shift:
+            Fa = Fa + level_shift * (S - S @ dma @ S)
+            Fb = Fb + level_shift * (S - S @ dmb @ S)
+
+        err = np.concatenate([
+            (Fa @ dma @ S - S @ dma @ Fa).ravel(),
+            (Fb @ dmb @ S - S @ dmb @ Fb).ravel()])
+        diis_F.append((Fa.copy(), Fb.copy()))
+        diis_err.append(err)
+        if len(diis_F) > diis_size:
+            diis_F.pop(0)
+            diis_err.pop(0)
+        if len(diis_F) > 1:
+            m = len(diis_F)
+            B = -np.ones((m + 1, m + 1))
+            B[-1, -1] = 0.0
+            for i in range(m):
+                for j in range(m):
+                    B[i, j] = diis_err[i] @ diis_err[j]
+            rhs = np.zeros(m + 1)
+            rhs[-1] = -1.0
+            try:
+                w = np.linalg.solve(B, rhs)[:m]
+                Fa = sum(wi * Fi[0] for wi, Fi in zip(w, diis_F))
+                Fb = sum(wi * Fi[1] for wi, Fi in zip(w, diis_F))
+            except np.linalg.LinAlgError:
+                pass
+        mo_ea, Ca = solve(Fa)
+        mo_eb, Cb = solve(Fb)
+        dma = Ca[:, :na] @ Ca[:, :na].T if na else np.zeros_like(S)
+        dmb = Cb[:, :nb] @ Cb[:, :nb].T if nb else np.zeros_like(S)
+        dmt = dma + dmb
+        e_k = 0.0
+        if hyb["c_hf"]:
+            e_k += hyb["c_hf"] * (np.sum(dma * K(dma, g))
+                                  + np.sum(dmb * K(dmb, g)))
+        if hyb["c_lr"]:
+            e_k += hyb["c_lr"] * (np.sum(dma * K(dma, g_lr))
+                                  + np.sum(dmb * K(dmb, g_lr)))
+        e_elec = (np.sum(dmt * h)
+                  + 0.5 * np.sum(dmt * np.einsum("ij,ijkl->kl", dmt, g,
+                                                 optimize=True))
+                  - 0.5 * e_k + exc)
+        if abs(e_elec - e_old) < conv_tol and cycle > 0:
+            converged = True
+            break
+        e_old = e_elec
+
+    # <S^2> = Sz(Sz+1) + Nb - |<a|b>|^2 over occupied pairs
+    sz = 0.5 * (na - nb)
+    Sab = Ca[:, :na].T @ S @ Cb[:, :nb] if na and nb else np.zeros((0, 0))
+    spin_sq = sz * (sz + 1.0) + nb - float(np.sum(Sab * Sab))
+
+    return UKSResult(
+        e_tot=float(e_elec + enuc), e_xc=exc, mo_coeff=(Ca, Cb),
+        mo_energy=(mo_ea, mo_eb), dm=(dma, dmb), converged=converged,
+        nocc=(na, nb), n_elec_grid=nelec_grid, spin_sq=spin_sq)

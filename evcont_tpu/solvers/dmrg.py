@@ -281,7 +281,8 @@ def load_mps(path):
 
 def converge_dmrg(h1, h2, nelec, tag, bond_dim_schedule=None, noises=None,
                   tolerance=1.0e-4, restart_tag=None, workdir=".",
-                  penalty=8.0, max_sweeps_per_rung=8, seed=0):
+                  penalty=8.0, max_sweeps_per_rung=8, seed=0,
+                  device=False, lanczos_k=20):
     """Schedule-parity DMRG driver (reference: evcont/converge_dmrg.py:10-107).
 
     Reproduces the reference's control flow with the in-framework MPS
@@ -295,6 +296,11 @@ def converge_dmrg(h1, h2, nelec, tag, bond_dim_schedule=None, noises=None,
       * cross-rung early stop when |E_i - E_{i-1}| < tolerance, and
         within-rung early stop on the same tolerance;
       * restart from {workdir}/{restart_tag}-mps.npz when present.
+
+    device=True routes every sweep through the jitted static-shape
+    two-site kernel (solvers/dmrg_jax.DeviceDMRG) so the solver's FLOPs
+    run on the accelerator; ladder/noise/logging/restart semantics are
+    identical (the MPS is re-padded at each rung boundary).
 
     Returns (mps, final_energy) — energy is the physical <H> (the number-
     sector penalty is excluded), nuclear repulsion NOT included (the
@@ -330,7 +336,10 @@ def converge_dmrg(h1, h2, nelec, tag, bond_dim_schedule=None, noises=None,
         mps = load_mps(restart_path)
     else:
         mps = _hf_product_mps(n_sites, na + nb, 0.5 * (na - nb))
-    LE, RE = _make_envs(mps, W)
+    if device:
+        from .dmrg_jax import DeviceDMRG
+    else:
+        LE, RE = _make_envs(mps, W)
     rng = np.random.default_rng(seed)
 
     log_path = os.path.join(workdir, f"DMRG_result_{tag}.txt")
@@ -340,16 +349,25 @@ def converge_dmrg(h1, h2, nelec, tag, bond_dim_schedule=None, noises=None,
     for i in range(len(bond_dim_schedule) - 1):
         m = int(bond_dim_schedule[i])
         rung_noises = noises * (4.0 ** (-i))
+        if device:
+            dev = DeviceDMRG(W, n_sites, m, mps0=mps)
         rows = []
         prev_e = None
         for j in range(max_sweeps_per_rung):
             noise = rung_noises[min(j, len(rung_noises) - 1)]
-            _, dw = _run_sweep(mps, W, LE, RE, m, rng, noise)
-            e_phys = mpo_expectation(mps, W_ham)
+            if device:
+                _, dw = dev.sweep(noise=noise, k=lanczos_k,
+                                  seed=seed + 1000 * i + j)
+                e_phys = dev.expectation(W_ham)
+            else:
+                _, dw = _run_sweep(mps, W, LE, RE, m, rng, noise)
+                e_phys = mpo_expectation(mps, W_ham)
             rows.append((m, e_phys, dw, noise))
             if prev_e is not None and abs(e_phys - prev_e) < tolerance:
                 break
             prev_e = e_phys
+        if device:
+            mps = dev.mps()
         final_energies.append(rows[-1][1])
         with open(log_path, "a") as fl:
             for bd, en, dw, noise in rows:

@@ -194,3 +194,20 @@ def test_h2o_ccpvtz_rhf_literature():
     res = rhf_from_engine(eng)
     assert res.converged
     assert abs(res.e_tot - (-76.0571685)) < 2e-5
+
+
+def test_h2o_sto6g_rhf():
+    """STO-6G C/N/O rows were re-derived in this repo by the same
+    overlap-maximizing fit the STO-NG papers use (see basis_data.py: the
+    procedure reproduces the published STO-3G 1s/2sp and STO-6G 1s tables
+    to <=1e-5). SCF anchor: H2O/STO-6G sits ~0.72 Ha below STO-3G (the
+    STO-NG series converges toward the Slater-basis result from above),
+    value pinned as a regression."""
+    mol = water("sto-6g")
+    eng = IntegralEngine(mol)
+    assert eng.nao == 7
+    res = rhf_from_engine(eng)
+    assert res.converged
+    e3g = -74.9629247356596          # same geometry, sto-3g (pinned above)
+    assert res.e_tot < e3g - 0.5
+    assert abs(res.e_tot - (-75.67867537180206)) < 1e-6
