@@ -269,8 +269,14 @@ class DeviceDMRG:
         return float(e), float(dw)
 
     def expectation(self, W_list):
-        """<psi| W |psi> / <psi|psi> for an arbitrary (numpy) MPO."""
-        Wp = jnp.asarray(pad_mpo(W_list), dtype=self.dtype)
+        """<psi| W |psi> / <psi|psi> for an arbitrary (numpy) MPO.
+        The padded device copy is cached per MPO object (the schedule
+        driver evaluates the same W_ham after every sweep)."""
+        cache = getattr(self, "_exp_cache", None)
+        if cache is None or cache[0] is not W_list:
+            Wp = jnp.asarray(pad_mpo(W_list), dtype=self.dtype)
+            self._exp_cache = cache = (W_list, Wp)
+        Wp = cache[1]
         num = _expectation_jit(self.A, Wp, self.n_sites)
         den = _norm_jit(self.A, self.n_sites)
         return float(num / den)

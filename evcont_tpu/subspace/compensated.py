@@ -152,11 +152,13 @@ def two_prod(a, b):
     return p, e
 
 
-def exact_matvec(A_hi, A_lo, x_hi, x_lo, kblock=16384):
+def exact_matvec(A_hi, A_lo, x_hi, x_lo, kblock=8192):
     """y = A @ x in full double-f32 arithmetic: error-free products
     (TwoProd) and exact two-float pairwise summation — the VPU-bound
     accuracy mode (error ~ n * eps_f32^2, i.e. f64-class). Processes the
-    contraction axis in blocks to bound memory."""
+    contraction axis in blocks to bound memory (kblock=8192 keeps the
+    ~(Npair, kblock) TwoProd temporaries, several of which are live at
+    once under the force JVP, inside HBM next to the 4 GiB store)."""
     M, K = A_hi.shape
     acc_hi = jnp.zeros(M, dtype=jnp.float32)
     acc_lo = jnp.zeros(M, dtype=jnp.float32)
