@@ -58,6 +58,21 @@ def _comp_tables(l):
                  for d in range(3))
 
 
+def _nofold(x):
+    """Wrap a geometry-independent class array so XLA cannot constant-fold
+    it into large derived grids. Without this, the ERI quartet stage's
+    outer-product quantities over primitive-pair instances (alpha =
+    p*q/(p+q), the coefficient-product prefactor, ...) are compile-time
+    constants of shape (n1, n2) and get folded into the executable — for
+    an H30/STO-6G chain that meant multi-GB constants, a >2 GB
+    non-serializable executable, and ~7 min of constant-folding passes.
+    The barrier keeps only the small per-instance vectors embedded and
+    computes the grids at runtime (trivial elementwise work that fuses
+    into the consumers). optimization_barrier is differentiation-
+    transparent (identity JVP), so autodiff forces are unaffected."""
+    return jax.lax.optimization_barrier(jnp.asarray(x))
+
+
 @dataclass(frozen=True)
 class _PairClass:
     la: int
@@ -138,12 +153,22 @@ class IntegralEngine:
             ))
         return classes
 
+    # bound on primitive-pair instances per ERI class: the quartet stage
+    # forms dense (n1, n2) pair-product grids, so an unchunked class of N
+    # instances costs O(N^2) memory per class combo — 16,290 ss instances
+    # on an H30/STO-6G chain meant 265M-entry grids and a >4 GB
+    # executable. Chunks keep every grid <= (4096)^2; the (1+T)
+    # symmetrization handles cross-chunk combos exactly like distinct
+    # classes (full weight, transpose pass restores the other order).
+    _ERI_CLASS_CHUNK = 4096
+
     def _build_upair_classes(self):
         """Unordered shell-pair classes for the ERI path: one entry per
         unordered primitive pair, realizing the (ab| = (ba| permutation
         symmetry. Self-paired entries carry weight 0.5 (folded into the
         coefficient product) because the final (1 + T1)(1 + T2)(1 + T3)
-        symmetrization pass maps them onto themselves."""
+        symmetrization pass maps them onto themselves. Large classes are
+        split into chunks of at most _ERI_CLASS_CHUNK instances."""
         classes = []
         nao = self._nao_cart
         ls = sorted(self._prim)
@@ -160,14 +185,19 @@ class IntegralEngine:
                     weight = np.ones(len(ia))
                 ca = (la + 1) * (la + 2) // 2
                 cb = (lb + 1) * (lb + 2) // 2
-                classes.append(_PairClass(
-                    la=la, lb=lb,
-                    atom_a=pa.atom[ia], atom_b=pb.atom[ib],
-                    a=pa.exp[ia], b=pb.exp[ib],
-                    cc=pa.coef[ia] * pb.coef[ib] * weight,
-                    scatter=pair_scatter_indices(
-                        ca, cb, pa.ao_start[ia], pb.ao_start[ib], nao),
-                ))
+                n_inst = len(ia)
+                chunk = self._ERI_CLASS_CHUNK
+                for lo in range(0, n_inst, chunk):
+                    sl = slice(lo, min(lo + chunk, n_inst))
+                    classes.append(_PairClass(
+                        la=la, lb=lb,
+                        atom_a=pa.atom[ia[sl]], atom_b=pb.atom[ib[sl]],
+                        a=pa.exp[ia[sl]], b=pb.exp[ib[sl]],
+                        cc=pa.coef[ia[sl]] * pb.coef[ib[sl]] * weight[sl],
+                        scatter=pair_scatter_indices(
+                            ca, cb, pa.ao_start[ia[sl]],
+                            pb.ao_start[ib[sl]], nao),
+                    ))
         return classes
 
     # ------------------------------------------------------------------
@@ -180,6 +210,7 @@ class IntegralEngine:
         Returns p (n,), P (n,3), E list of 3 arrays
         (n, la+1, lb+extra+1, la+lb+extra+1).
         """
+        a, b = _nofold(a), _nofold(b)
         p = a + b
         P = (a[:, None] * A + b[:, None] * B) / p[:, None]
         mu = a * b / p
@@ -355,8 +386,7 @@ class IntegralEngine:
                 # flat AO-pair index of each (contracted pair, comp_a,
                 # comp_b), plus the primitive-aggregation matrix
                 "ao_pair": ao_pair_inst[np.sort(first_idx)],
-                "agg": jnp.asarray(
-                    agg[np.argsort(first_idx)]),
+                "agg": _nofold(agg[np.argsort(first_idx)]),
             })
         return data
 

@@ -211,3 +211,23 @@ def test_h2o_sto6g_rhf():
     e3g = -74.9629247356596          # same geometry, sto-3g (pinned above)
     assert res.e_tot < e3g - 0.5
     assert abs(res.e_tot - (-75.67867537180206)) < 1e-6
+
+
+def test_eri_class_chunking_exact():
+    """Splitting large pair classes into chunks must leave the ERI tensor
+    bit-for-bit equivalent (the (1+T) symmetrization treats cross-chunk
+    combos as ordinary distinct classes). Forces a tiny chunk so every
+    class splits."""
+    mol = Molecule.build([("H", (0, 0, 1.5 * i)) for i in range(4)],
+                         basis="6-31g")
+    eng_full = IntegralEngine(mol)
+    c = np.asarray(mol.coords)
+    g_full = np.array(jax.jit(eng_full.eri)(c))
+
+    class ChunkedEngine(IntegralEngine):
+        _ERI_CLASS_CHUNK = 7
+
+    eng_chunk = ChunkedEngine(mol)
+    g_chunk = np.array(jax.jit(eng_chunk.eri)(c))
+    assert len(eng_chunk._upairs) > len(eng_full._upairs)
+    np.testing.assert_allclose(g_chunk, g_full, atol=1e-13)
