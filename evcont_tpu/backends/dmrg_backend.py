@@ -55,8 +55,11 @@ class DMRGBackend(EVContBackend):
                 logging, MPS save/restart under this directory.
             tolerance: converge_dmrg energy tolerance.
             device: route the sweeps through the jitted static-shape
-                two-site kernel (solvers/dmrg_jax) so the solver FLOPs
-                run on the accelerator.
+                two-site kernel (solvers/dmrg_jax) AND the cross t-RDM
+                extraction through the device cached-environment sweep
+                (solvers/dmrg_trdm_device) so all solver FLOPs run on
+                the accelerator (H30 scale: ~12 s/pair on one v5e chip
+                vs ~200 s host numpy).
         """
         super().__init__()
         self.bond_dims = tuple(bond_dims) if bond_dims is not None \
@@ -138,10 +141,11 @@ class DMRGBackend(EVContBackend):
             mps = [t.copy() for t in mps]
             mps[0] = mps[0] / nrm
             self.mps_states.append(mps)
+            trdm = "sweep-device" if self.device else "auto"
             for st in self.mps_states:
                 ovlp_row.append(mps_overlap(self.mps_states[-1], st))
                 r1, r2 = mps_transition_rdm12(self.mps_states[-1], st,
-                                              norb)
+                                              norb, method=trdm)
                 rdm1_row.append(r1)
                 rdm2_row.append(r2)
         self._grow(ovlp_row, rdm1_row, rdm2_row)

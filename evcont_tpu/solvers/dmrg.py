@@ -859,15 +859,21 @@ def mps_transition_rdm12(mpsA, mpsB, norb, method="auto"):
 
     method="sweep": batched cached-environment sweep — every element from
     O(n_sites) batched contractions (the block2-style production path,
-    DMRG_EVCont.py:70-85). "strings": the O(norb^4)-string oracle.
-    "auto" picks the sweep beyond tiny systems."""
+    DMRG_EVCont.py:70-85). "sweep-device": the same sweep with the
+    batched transfers dispatched to the accelerator
+    (solvers/dmrg_trdm_device.py) — the H30-scale path. "strings": the
+    O(norb^4)-string oracle. "auto" picks the sweep beyond tiny systems."""
     if method == "auto":
         method = "sweep" if norb > 4 else "strings"
     if method == "strings":
         return mps_transition_rdm12_strings(mpsA, mpsB, norb)
 
     n = 2 * norb
-    keys, vals = _sweep_all_elements(mpsA, mpsB)
+    if method == "sweep-device":
+        from .dmrg_trdm_device import _sweep_all_elements_device
+        keys, vals = _sweep_all_elements_device(mpsA, mpsB)
+    else:
+        keys, vals = _sweep_all_elements(mpsA, mpsB)
 
     def slot_arr(k, u):
         return (k | (u << 1)).astype(np.int64)

@@ -38,7 +38,7 @@ def train_fci_artifacts(n_atoms, basis, train_dists, workdir):
 
 
 def train_dmrg_artifacts(n_atoms, basis, train_dists, workdir,
-                         bond_dims=(16, 24, 32)):
+                         bond_dims=(16, 24, 32), device=False):
     """In-framework DMRG training at H30 scale: schedule-parity driver
     (converge_dmrg) + cached-environment MPS t-RDM sweeps
     (solvers/dmrg.py:mps_transition_rdm12) — the role of block2's
@@ -47,7 +47,8 @@ def train_dmrg_artifacts(n_atoms, basis, train_dists, workdir,
     import time
     from ..backends.dmrg_backend import DMRGBackend
     backend = DMRGBackend(bond_dims=bond_dims, trdm_method="mps",
-                          workdir=os.path.join(workdir, "dmrg"))
+                          workdir=os.path.join(workdir, "dmrg"),
+                          device=device)
     for d in train_dists:
         t0 = time.time()
         backend.append_to_rdms(h_chain(n_atoms, d, basis=basis))
@@ -60,7 +61,7 @@ def train_dmrg_artifacts(n_atoms, basis, train_dists, workdir,
 def main(n_atoms=30, basis="sto-6g", d0=1.9, steps=300, dt=5.0,
          workdir=".", train_fci=False, train_dmrg=False,
          train_dists=(1.2, 1.6, 2.0, 2.4, 2.8), hf_baseline=False,
-         bond_dims=(16, 24, 32)):
+         bond_dims=(16, 24, 32), device=False):
     os.makedirs(workdir, exist_ok=True)
     mol = h_chain(n_atoms, d0, basis=basis)
 
@@ -68,7 +69,7 @@ def main(n_atoms=30, basis="sto-6g", d0=1.9, steps=300, dt=5.0,
         train_fci_artifacts(n_atoms, basis, train_dists, workdir)
     elif train_dmrg:
         train_dmrg_artifacts(n_atoms, basis, train_dists, workdir,
-                             bond_dims=bond_dims)
+                             bond_dims=bond_dims, device=device)
 
     backend = TRDMIngestBackend().load_state_files(workdir)
     model = ContinuationModel(mol, backend.overlap, backend.one_rdm,
@@ -121,9 +122,12 @@ if __name__ == "__main__":
     ap.add_argument("--train-dists", type=float, nargs="+",
                     default=[1.2, 1.6, 2.0, 2.4, 2.8])
     ap.add_argument("--hf-baseline", action="store_true")
+    ap.add_argument("--device", action="store_true",
+                    help="run DMRG sweeps + t-RDM extraction on the "
+                         "accelerator (solvers/dmrg_jax + dmrg_trdm_device)")
     args = ap.parse_args()
     main(n_atoms=args.n_atoms, basis=args.basis, steps=args.steps,
          workdir=args.workdir, train_fci=args.train_fci,
          train_dmrg=args.train_dmrg, bond_dims=tuple(args.bond_dims),
          train_dists=tuple(args.train_dists),
-         hf_baseline=args.hf_baseline)
+         hf_baseline=args.hf_baseline, device=args.device)
