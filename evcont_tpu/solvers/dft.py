@@ -46,24 +46,24 @@ _PBE_GAMMA = 0.031090690869654895   # (1 - ln 2) / pi^2
 _PBE_BETA = 0.066725
 
 
-def _eps_x_lda(rho):
+def _eps_x_lda(rho, xp=np):
     return -0.75 * (3.0 / np.pi) ** (1.0 / 3.0) * rho ** (1.0 / 3.0)
 
 
-def _eps_c_pz(rs):
+def _eps_c_pz(rs, xp=np):
     lo = rs >= 1.0
-    eps_lo = _PZ_GAMMA / (1.0 + _PZ_B1 * np.sqrt(rs) + _PZ_B2 * rs)
-    lnrs = np.log(np.maximum(rs, 1e-30))
+    eps_lo = _PZ_GAMMA / (1.0 + _PZ_B1 * xp.sqrt(rs) + _PZ_B2 * rs)
+    lnrs = xp.log(xp.maximum(rs, 1e-30))
     eps_hi = (_PZ_A * lnrs + _PZ_B + _PZ_C * rs * lnrs + _PZ_D * rs)
-    return np.where(lo, eps_lo, eps_hi)
+    return xp.where(lo, eps_lo, eps_hi)
 
 
-def _eps_c_pw92(rs):
+def _eps_c_pw92(rs, xp=np):
     q0 = -2.0 * _PW_A * (1.0 + _PW_A1 * rs)
-    sq = np.sqrt(rs)
+    sq = xp.sqrt(rs)
     q1 = 2.0 * _PW_A * (_PW_B1 * sq + _PW_B2 * rs + _PW_B3 * rs * sq
                         + _PW_B4 * rs * rs)
-    return q0 * np.log1p(1.0 / np.maximum(q1, 1e-30))
+    return q0 * xp.log1p(1.0 / xp.maximum(q1, 1e-30))
 
 
 # VWN5 correlation parameters (paramagnetic fit, Vosko/Wilk/Nusair 1980)
@@ -83,60 +83,63 @@ _HYBRIDS = {
 }
 
 
-def _eps_c_vwn5(rs):
+def _eps_c_vwn5(rs, xp=np):
     """VWN5 (paramagnetic) correlation energy per particle of the uniform
     gas, in the RPA-fit x = sqrt(rs) parametrization."""
-    x = np.sqrt(rs)
+    x = xp.sqrt(rs)
     X = x * x + _VWN_B * x + _VWN_C
     X0 = _VWN_X0 * _VWN_X0 + _VWN_B * _VWN_X0 + _VWN_C
     Q = np.sqrt(4.0 * _VWN_C - _VWN_B * _VWN_B)
-    atn = np.arctan(Q / (2.0 * x + _VWN_B))
+    atn = xp.arctan(Q / (2.0 * x + _VWN_B))
     return _VWN_A * (
-        np.log(x * x / X) + 2.0 * _VWN_B / Q * atn
+        xp.log(x * x / X) + 2.0 * _VWN_B / Q * atn
         - _VWN_B * _VWN_X0 / X0 * (
-            np.log((x - _VWN_X0) ** 2 / X)
+            xp.log((x - _VWN_X0) ** 2 / X)
             + 2.0 * (_VWN_B + 2.0 * _VWN_X0) / Q * atn
         )
     )
 
 
-def _ex_b88_spin(rho_s, sigma_s):
+def _ex_b88_spin(rho_s, sigma_s, xp=np):
     """B88 exchange energy per volume for one spin channel (includes the
     LDA part; beta = 0.0042 recovers pure Slater exchange for beta -> 0)."""
-    rho_s = np.maximum(rho_s, 1e-30)
+    rho_s = xp.maximum(rho_s, 1e-30)
     r43 = rho_s ** (4.0 / 3.0)
-    x = np.sqrt(np.maximum(sigma_s, 0.0)) / r43
+    x = xp.sqrt(xp.maximum(sigma_s, 0.0)) / r43
     cx = 1.5 * (3.0 / (4.0 * np.pi)) ** (1.0 / 3.0)
-    corr = _B88_BETA * x * x / (1.0 + 6.0 * _B88_BETA * x * np.arcsinh(x))
+    corr = _B88_BETA * x * x / (1.0 + 6.0 * _B88_BETA * x * xp.arcsinh(x))
     return -r43 * (cx + corr)
 
 
-def _cam_lr_fraction(a):
+def _cam_lr_fraction(a, xp=np):
     """g(a): long-range (erf(omega r)) fraction of the model GGA exchange
     hole (Iikura/Tawada/Yanai/Hirao 2001 eq. 6; CAM usage Yanai 2004).
     g(0) = 0 (all exchange short-range), g(inf) = 1."""
-    a = np.maximum(a, 1e-12)
+    a = xp.maximum(a, 1e-12)
     inv = 1.0 / (2.0 * a)
-    from scipy.special import erf
-    expo = np.exp(-np.minimum(inv * inv, 700.0))
+    if xp is np:
+        from scipy.special import erf
+    else:
+        from jax.scipy.special import erf
+    expo = xp.exp(-xp.minimum(inv * inv, 700.0))
     b = expo - 1.0
     c = 2.0 * a * a * b + 0.5
     g = (8.0 / 3.0) * a * (np.sqrt(np.pi) * erf(inv) + 2.0 * a * (b - c))
     # large-a: the closed form cancels catastrophically; asymptotic series
     # g = 1 - 1/(36 a^2) + O(a^-4)
-    g = np.where(a > 8.0, 1.0 - 1.0 / (36.0 * a * a), g)
-    return np.clip(g, 0.0, 1.0)
+    g = xp.where(a > 8.0, 1.0 - 1.0 / (36.0 * a * a), g)
+    return xp.clip(g, 0.0, 1.0)
 
 
-def _ec_lyp_closed(rho, sigma):
+def _ec_lyp_closed(rho, sigma, xp=np):
     """LYP correlation energy per volume, closed shell (rho_a = rho_b =
     rho/2, sigma_aa = sigma_bb = sigma_ab = sigma/4), Miehlich et al.
     gradient-only form."""
-    rho = np.maximum(rho, 1e-30)
-    sigma = np.maximum(sigma, 0.0)
+    rho = xp.maximum(rho, 1e-30)
+    sigma = xp.maximum(sigma, 0.0)
     rm13 = rho ** (-1.0 / 3.0)
     denom = 1.0 + _LYP_D * rm13
-    omega = np.exp(-_LYP_C * rm13) / denom * rho ** (-11.0 / 3.0)
+    omega = xp.exp(-_LYP_C * rm13) / denom * rho ** (-11.0 / 3.0)
     delta = _LYP_C * rm13 + _LYP_D * rm13 / denom
     ra = rb = 0.5 * rho
     s_aa = s_bb = s_ab = 0.25 * sigma
@@ -157,20 +160,22 @@ def _ec_lyp_closed(rho, sigma):
     return term1 - _LYP_A * _LYP_B * omega * t
 
 
-def _xc_energy_density(rho, sigma, xc):
-    """epsilon_xc(rho, |grad rho|^2) per particle; numpy, differentiated
-    by finite perturbation for the potential (see _vxc)."""
-    rho = np.maximum(rho, 1e-30)
+def _xc_energy_density(rho, sigma, xc, xp=np):
+    """epsilon_xc(rho, |grad rho|^2) per particle. Vectorized over the
+    array module xp (numpy for the SCF loop, jax.numpy for the
+    differentiable force path in dft_force.py); the numpy SCF potential
+    differentiates it by finite perturbation (see _exc_and_v)."""
+    rho = xp.maximum(rho, 1e-30)
     rs = (3.0 / (4.0 * np.pi * rho)) ** (1.0 / 3.0)
-    ex = _eps_x_lda(rho)
+    ex = _eps_x_lda(rho, xp)
     if xc == "lda":
-        return ex + _eps_c_pz(rs)
+        return ex + _eps_c_pz(rs, xp)
     if xc == "hf":
-        return np.zeros_like(rho)
+        return xp.zeros_like(rho)
     if xc in ("b3lyp", "camb3lyp"):
-        ra, s_aa = 0.5 * rho, 0.25 * np.maximum(sigma, 0.0)
-        e_b88 = 2.0 * _ex_b88_spin(ra, s_aa)          # per volume, both spins
-        e_lyp = _ec_lyp_closed(rho, sigma)
+        ra, s_aa = 0.5 * rho, 0.25 * xp.maximum(sigma, 0.0)
+        e_b88 = 2.0 * _ex_b88_spin(ra, s_aa, xp)      # per volume, both spins
+        e_lyp = _ec_lyp_closed(rho, sigma, xp)
         if xc == "b3lyp":
             # a0=0.20 HF handled via K matrices; DFT exchange:
             # 0.08 LDA + 0.72 B88 (B88 includes its LDA part)
@@ -180,27 +185,28 @@ def _xc_energy_density(rho, sigma, xc):
             # 1 - alpha - beta*g(a); HF part alpha*K + beta*K_LR
             alpha, beta, omega_rs = 0.19, 0.46, 0.33
             K_s = -2.0 * (0.5 * e_b88) / ra ** (4.0 / 3.0)
-            a = omega_rs * np.sqrt(np.maximum(K_s, 1e-30)) \
+            a = omega_rs * xp.sqrt(xp.maximum(K_s, 1e-30)) \
                 / (6.0 * np.sqrt(np.pi) * ra ** (1.0 / 3.0))
-            eps_x = (1.0 - alpha - beta * _cam_lr_fraction(a)) * e_b88 / rho
-        eps_c = 0.19 * _eps_c_vwn5(rs) + 0.81 * e_lyp / rho
+            eps_x = (1.0 - alpha - beta * _cam_lr_fraction(a, xp)) \
+                * e_b88 / rho
+        eps_c = 0.19 * _eps_c_vwn5(rs, xp) + 0.81 * e_lyp / rho
         return eps_x + eps_c
     # PBE
     kf = (3.0 * np.pi ** 2 * rho) ** (1.0 / 3.0)
-    grad = np.sqrt(np.maximum(sigma, 0.0))
-    s = grad / np.maximum(2.0 * kf * rho, 1e-30)
+    grad = xp.sqrt(xp.maximum(sigma, 0.0))
+    s = grad / xp.maximum(2.0 * kf * rho, 1e-30)
     fx = 1.0 + _PBE_KAPPA - _PBE_KAPPA / (1.0 + _PBE_MU * s * s / _PBE_KAPPA)
     eps_x = ex * fx
     # correlation
-    eps_c0 = _eps_c_pw92(rs)
-    ks = np.sqrt(4.0 * kf / np.pi)
-    t = grad / np.maximum(2.0 * ks * rho, 1e-30)
-    expo = np.exp(-eps_c0 / _PBE_GAMMA)
-    A = _PBE_BETA / _PBE_GAMMA / np.maximum(expo - 1.0, 1e-30)
+    eps_c0 = _eps_c_pw92(rs, xp)
+    ks = xp.sqrt(4.0 * kf / np.pi)
+    t = grad / xp.maximum(2.0 * ks * rho, 1e-30)
+    expo = xp.exp(-eps_c0 / _PBE_GAMMA)
+    A = _PBE_BETA / _PBE_GAMMA / xp.maximum(expo - 1.0, 1e-30)
     t2 = t * t
     num = 1.0 + A * t2
     den = 1.0 + A * t2 + A * A * t2 * t2
-    H = _PBE_GAMMA * np.log1p(_PBE_BETA / _PBE_GAMMA * t2 * num / den)
+    H = _PBE_GAMMA * xp.log1p(_PBE_BETA / _PBE_GAMMA * t2 * num / den)
     return eps_x + eps_c0 + H
 
 
@@ -266,7 +272,7 @@ def rks(engine, coords=None, xc="pbe", n_rad=75, angular="product",
             lambda c: engine.eri(c, omega=hyb["omega"]))(coords))
 
     points, wts = molecular_grid(mol, n_rad=n_rad, angular=angular)
-    phi, dphi = eval_aos(engine, points, deriv=True)
+    phi, dphi = eval_aos(engine, points, deriv=True, coords=coords)
 
     vals, vecs = np.linalg.eigh(S)
     keep = vals > 1e-12
@@ -582,7 +588,7 @@ def uks(engine, coords=None, xc="pbe", n_rad=75, angular="product",
             lambda c: engine.eri(c, omega=hyb["omega"]))(coords))
 
     points, wts = molecular_grid(mol, n_rad=n_rad, angular=angular)
-    phi, dphi = eval_aos(engine, points, deriv=True)
+    phi, dphi = eval_aos(engine, points, deriv=True, coords=coords)
 
     vals, vecs = np.linalg.eigh(S)
     keep = vals > 1e-12

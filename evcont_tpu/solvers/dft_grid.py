@@ -164,13 +164,18 @@ def molecular_grid(mol, n_rad=75, angular=50):
     return points, weights
 
 
-def eval_aos(engine, points, deriv=False):
+def eval_aos(engine, points, deriv=False, coords=None):
     """AO amplitudes (and gradients) on grid points, in the engine's
     user-facing AO layout (spherical when d shells present).
 
-    Returns phi (N, nao) or (phi, dphi (N, 3, nao))."""
+    Returns phi (N, nao) or (phi, dphi (N, 3, nao)).
+
+    coords: AO center positions; REQUIRED whenever evaluating at a
+    geometry other than the engine's build geometry (callers that forget
+    this got amplitudes for the original centers — the bug fixed in the
+    rks/uks displaced-geometry paths)."""
     structure = engine.structure
-    coords = np.asarray(engine.mol.coords)
+    coords = np.asarray(engine.mol.coords if coords is None else coords)
     N = points.shape[0]
     nao_cart = structure.nao
     phi = np.zeros((N, nao_cart))

@@ -61,7 +61,7 @@ def train_dmrg_artifacts(n_atoms, basis, train_dists, workdir,
 def main(n_atoms=30, basis="sto-6g", d0=1.9, steps=300, dt=5.0,
          workdir=".", train_fci=False, train_dmrg=False,
          train_dists=(1.2, 1.6, 2.0, 2.4, 2.8), hf_baseline=False,
-         bond_dims=(16, 24, 32), device=False):
+         dft_baseline=False, bond_dims=(16, 24, 32), device=False):
     os.makedirs(workdir, exist_ok=True)
     mol = h_chain(n_atoms, d0, basis=basis)
 
@@ -80,6 +80,31 @@ def main(n_atoms=30, basis="sto-6g", d0=1.9, steps=300, dt=5.0,
             model, init_coords=mol.coords, dt=dt, steps=steps,
             trajectory_output=tf, energy_output=ef)
     np.save(os.path.join(workdir, "traj_H30.npy"), coords)
+
+    if dft_baseline:
+        # PBE baseline MD (reference md_H30_DFT.py) with ANALYTIC forces:
+        # autodiff of the KS energy at fixed OAO density incl. grid
+        # response (solvers/dft_force.py)
+        from ..solvers.dft_force import rks_energy_and_force
+        eng = IntegralEngine(mol)
+        masses = mol.masses_au()
+        c = np.asarray(mol.coords)
+        v = np.zeros_like(c)
+        e, F, _ = rks_energy_and_force(eng, c, xc="pbe", n_rad=40,
+                                       angular=26)
+        dft_traj, dft_ens = [], []
+        for _ in range(steps):
+            v_half = v + 0.5 * dt * F / masses[:, None]
+            c = c + dt * v_half
+            e, F, _ = rks_energy_and_force(eng, c, xc="pbe", n_rad=40,
+                                           angular=26)
+            v = v_half + 0.5 * dt * F / masses[:, None]
+            dft_traj.append(c.copy())
+            dft_ens.append(e)
+        np.save(os.path.join(workdir, "traj_H30_DFT.npy"),
+                np.array(dft_traj))
+        np.savetxt(os.path.join(workdir, "ens_H30_DFT.txt"),
+                   np.array(dft_ens))
 
     if hf_baseline:
         # host-loop HF MD (reference md_H30_HF.py); analytic HF forces
@@ -122,6 +147,9 @@ if __name__ == "__main__":
     ap.add_argument("--train-dists", type=float, nargs="+",
                     default=[1.2, 1.6, 2.0, 2.4, 2.8])
     ap.add_argument("--hf-baseline", action="store_true")
+    ap.add_argument("--dft-baseline", action="store_true",
+                    help="PBE baseline MD with analytic autodiff forces "
+                         "(reference md_H30_DFT.py)")
     ap.add_argument("--device", action="store_true",
                     help="run DMRG sweeps + t-RDM extraction on the "
                          "accelerator (solvers/dmrg_jax + dmrg_trdm_device)")
@@ -130,4 +158,5 @@ if __name__ == "__main__":
          workdir=args.workdir, train_fci=args.train_fci,
          train_dmrg=args.train_dmrg, bond_dims=tuple(args.bond_dims),
          train_dists=tuple(args.train_dists),
-         hf_baseline=args.hf_baseline, device=args.device)
+         hf_baseline=args.hf_baseline, dft_baseline=args.dft_baseline,
+         device=args.device)

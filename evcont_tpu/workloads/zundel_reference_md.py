@@ -9,12 +9,14 @@ instead of the continuation.
 Forces:
   * method="hf": ANALYTIC forces (fixed-OAO-density Hellmann-Feynman —
     exact by SCF stationarity, see workloads/h10_pes.hf_energy_and_force).
-  * method in {"pbe", "b3lyp", "camb3lyp", "ccsd"}: central-difference
-    forces on the host solver (6*natm energy calls per step). The
-    reference leans on pyscf's analytic RKS/CCSD gradients here; this
-    path exists to produce the same baseline trajectories/observables at
-    demonstration step counts (the reference runs these baselines as
-    multi-day cluster jobs either way).
+  * method in {"pbe", "b3lyp", "camb3lyp"}: ANALYTIC forces by autodiff
+    of the full KS energy at fixed OAO density (solvers/dft_force.py —
+    includes Pulay and quadrature-grid response; the reference leans on
+    pyscf's hand-coded RKS gradients here, Zundel_DFT_PBE.py).
+  * method="ccsd": central-difference forces on the host solver
+    (6*natm energy calls per step; CCSD is non-variational so the
+    fixed-density trick does not apply — the reference uses pyscf's
+    lambda-equation gradients, run as multi-day cluster jobs).
 """
 
 import argparse
@@ -56,6 +58,11 @@ def _energy_fn(method, engine, mol):
 def energy_and_force(method, engine, mol, coords, eps=2e-3):
     if method == "hf":
         return hf_energy_and_force(engine, coords)
+    if method in ("pbe", "b3lyp", "camb3lyp"):
+        from ..solvers.dft_force import rks_energy_and_force
+        e, F, _ = rks_energy_and_force(engine, np.asarray(coords),
+                                       xc=method, n_rad=40, angular=26)
+        return e, F
     f = _energy_fn(method, engine, mol)
     e0 = f(coords)
     force = np.zeros_like(np.asarray(coords))
