@@ -68,12 +68,27 @@ def _subset_state(overlap, one_rdm, two_rdm, keep_ids):
     return overlap[ix], take(one_rdm), take(two_rdm)
 
 
+def _make_model(mol, overlap, one_rdm, two_rdm, hermitian=True):
+    """AL-loop model constructor: on the hermitian path the store is
+    S-orthonormalized once in f64 (continuation.orthonormalize_store)
+    before the jitted f32 solves — growing training sets go
+    ill-conditioned fast (the Zundel cation reaches kappa(S) ~ 4e5 by 6
+    states), and the raw-store f32 GEP then feeds garbage energies back
+    into the selection loop. Non-hermitian stores keep the raw layout
+    (the host-eig path is f64 end-to-end)."""
+    if hermitian:
+        return ContinuationModel.orthonormalized(
+            mol, overlap, one_rdm, two_rdm, hermitian=hermitian)
+    return ContinuationModel(mol, overlap, one_rdm, two_rdm,
+                             hermitian=hermitian)
+
+
 def _predict_batch(mol, overlap, one_rdm, two_rdm, trajectory,
                    chunk_size=32, hermitian=True):
     """Re-predict a trajectory's energies with a (sub)set of training data,
     batched on device."""
-    model = ContinuationModel(mol, overlap, one_rdm, two_rdm,
-                              hermitian=hermitian)
+    model = _make_model(mol, overlap, one_rdm, two_rdm,
+                        hermitian=hermitian)
     traj = np.asarray(trajectory)
     out = []
     for start in range(0, traj.shape[0], chunk_size):
@@ -117,8 +132,8 @@ def converge_EVCont_MD(backend, init_mol, steps=100, dt=1.0,
             coords = np.load(traj_npy)
             epot = np.genfromtxt(ens_file)[:, 1]
             return coords, epot
-        model = ContinuationModel.from_backend(init_mol, backend,
-                                               hermitian=hermitian)
+        model = _make_model(init_mol, backend.overlap, backend.one_rdm,
+                            backend.two_rdm, hermitian=hermitian)
         with open(os.path.join(workdir, f"traj_EVCont_{i}.xyz"), "w") as tf, \
                 open(ens_file, "w") as ef:
             coords, epot, ekin = get_trajectory(
