@@ -61,7 +61,8 @@ def train_dmrg_artifacts(n_atoms, basis, train_dists, workdir,
 def main(n_atoms=30, basis="sto-6g", d0=1.9, steps=300, dt=5.0,
          workdir=".", train_fci=False, train_dmrg=False,
          train_dists=(1.2, 1.6, 2.0, 2.4, 2.8), hf_baseline=False,
-         dft_baseline=False, bond_dims=(16, 24, 32), device=False):
+         dft_baseline=False, gap_baseline=False, bond_dims=(16, 24, 32),
+         device=False):
     os.makedirs(workdir, exist_ok=True)
     mol = h_chain(n_atoms, d0, basis=basis)
 
@@ -80,6 +81,41 @@ def main(n_atoms=30, basis="sto-6g", d0=1.9, steps=300, dt=5.0,
             model, init_coords=mol.coords, dt=dt, steps=steps,
             trajectory_output=tf, energy_output=ef)
     np.save(os.path.join(workdir, "traj_H30.npy"), coords)
+
+    if gap_baseline:
+        # GAP/SOAP baseline trained on the continuation's own training
+        # data (reference md_H30_GAP.py: GP on training-point energies
+        # from the t-RDM store, then GAP-force MD), evaluated along the
+        # continuation trajectory
+        from ..baselines.gap import GAPModel
+        trn_geoms = [np.asarray(h_chain(n_atoms, d, basis=basis).coords)
+                     for d in train_dists]
+        trn_ens = [float(model.potential(g)) for g in trn_geoms]
+        gap = GAPModel().fit(trn_geoms, trn_ens)
+        gc = np.asarray(mol.coords)
+        gv = np.zeros_like(gc)
+        masses = mol.masses_au()
+        e, F = gap.predict_with_forces(gc)
+        gap_traj, gap_ens = [], []
+        for _ in range(steps):
+            v_half = gv + 0.5 * dt * F / masses[:, None]
+            gc = gc + dt * v_half
+            e, F = gap.predict_with_forces(gc)
+            gv = v_half + 0.5 * dt * F / masses[:, None]
+            gap_traj.append(gc.copy())
+            gap_ens.append(e)
+        np.save(os.path.join(workdir, "traj_H30_GAP.npy"),
+                np.array(gap_traj))
+        np.savetxt(os.path.join(workdir, "ens_H30_GAP.txt"),
+                   np.array(gap_ens))
+        # per-frame GAP error along the continuation trajectory
+        cont_ens = np.array([float(model.potential(f)) for f in
+                             coords[:: max(1, steps // 20)]])
+        gap_pred = np.array([gap.predict(f) for f in
+                             coords[:: max(1, steps // 20)]])
+        np.savetxt(os.path.join(workdir, "GAP_en_error.txt"),
+                   np.stack([cont_ens, gap_pred,
+                             np.abs(cont_ens - gap_pred)], axis=1))
 
     if dft_baseline:
         # PBE baseline MD (reference md_H30_DFT.py) with ANALYTIC forces:
@@ -147,6 +183,9 @@ if __name__ == "__main__":
     ap.add_argument("--train-dists", type=float, nargs="+",
                     default=[1.2, 1.6, 2.0, 2.4, 2.8])
     ap.add_argument("--hf-baseline", action="store_true")
+    ap.add_argument("--gap-baseline", action="store_true",
+                    help="GAP/SOAP baseline trained on continuation data "
+                         "(reference md_H30_GAP.py)")
     ap.add_argument("--dft-baseline", action="store_true",
                     help="PBE baseline MD with analytic autodiff forces "
                          "(reference md_H30_DFT.py)")
@@ -159,4 +198,4 @@ if __name__ == "__main__":
          train_dmrg=args.train_dmrg, bond_dims=tuple(args.bond_dims),
          train_dists=tuple(args.train_dists),
          hf_baseline=args.hf_baseline, dft_baseline=args.dft_baseline,
-         device=args.device)
+         gap_baseline=args.gap_baseline, device=args.device)
