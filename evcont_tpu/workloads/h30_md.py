@@ -23,6 +23,7 @@ from ..backends.trdm_ingest import TRDMIngestBackend
 from ..learn.checkpoints import save_state
 from ..md.driver import get_trajectory
 from ..model import ContinuationModel
+from ..oao import loewdin_trafo, transform_integrals
 from ..solvers.scf import rhf_energy_and_gradient
 from ..integrals.engine import IntegralEngine
 from .common import h_chain
@@ -56,6 +57,113 @@ def train_dmrg_artifacts(n_atoms, basis, train_dists, workdir,
               f"({time.time() - t0:.0f} s)", flush=True)
     save_state(workdir, backend.overlap, backend.one_rdm, backend.two_rdm,
                trn_times=list(range(backend.ntrain)))
+
+
+def check_accuracy(n_atoms=30, basis="sto-6g", d0=1.9, workdir=".",
+                   stride=1, dmrg_reference=False, bond_dims=(16, 24, 32),
+                   device=False, batch=32):
+    """Evaluate the PES along the converged continuation trajectory with
+    every training-set prefix N = 1..Ntrn, plus (optionally) a fresh DMRG
+    reference energy per frame (reference:
+    md_H30_evcont_from_DMRG_check_accuracy.py:73-92 — DMRG_energies.txt /
+    continued_energies.txt, one row per frame, one column per prefix)."""
+    from ..backends.trdm_ingest import TRDMIngestBackend
+    mol = h_chain(n_atoms, d0, basis=basis)
+    backend = TRDMIngestBackend().load_state_files(workdir)
+    frames = np.load(os.path.join(workdir, "traj_H30.npy"))[::stride]
+    ntrain = backend.overlap.shape[0]
+
+    cols = []
+    for i in range(ntrain):
+        model = ContinuationModel(
+            mol, backend.overlap[: i + 1, : i + 1],
+            backend.one_rdm[: i + 1, : i + 1],
+            backend.two_rdm[: i + 1, : i + 1])
+        ens = [np.asarray(model.potential_batch(frames[j:j + batch]))
+               for j in range(0, len(frames), batch)]
+        cols.append(np.concatenate(ens))
+    np.savetxt(os.path.join(workdir, "continued_energies.txt"),
+               np.stack(cols, axis=1))
+
+    if dmrg_reference:
+        from ..solvers.dmrg import converge_dmrg
+        eng = IntegralEngine(mol)
+        ladder = np.array(list(bond_dims) + [bond_dims[-1]])
+        with open(os.path.join(workdir, "DMRG_energies.txt"), "w") as fl:
+            for pos in frames:
+                b = eng.compute_jit(np.asarray(pos))
+                trafo = np.array(loewdin_trafo(b.ovlp))
+                h1, h2 = transform_integrals(np.array(b.hcore),
+                                             np.array(b.eri), trafo)
+                _, en = converge_dmrg(
+                    np.array(h1), np.array(h2), mol.nelec, "MPS",
+                    bond_dim_schedule=ladder, tolerance=1e-5,
+                    restart_tag="MPS", workdir=workdir, device=device)
+                fl.write(f"{en + float(b.enuc)}\n")
+                fl.flush()
+
+
+def dmrg_reference_md(n_atoms=30, basis="sto-6g", d0=1.9, steps=300,
+                      dt=5.0, workdir=".", bond_dims=(16, 24, 32),
+                      device=False):
+    """Pure-DMRG MD: every step solves DMRG in the OAO basis of the
+    current geometry (warm-started from the previous step's MPS) and takes
+    analytic forces from the generalized Hellmann-Feynman expression at
+    the converged MPS RDMs (reference: md_H30_reference_DMRG_OAO.py —
+    per-step converge_dmrg with restart_tag="MPS", forces via
+    get_grad_elec_OAO at get_1pdm/get_2pdm of the state). Writes
+    DMRG_trajectory.xyz / DMRG_energies.txt / traj_DMRG.npy."""
+    from ..solvers.dmrg import (converge_dmrg, mps_overlap,
+                                mps_transition_rdm12)
+    from .h10_pes import _force_fn
+
+    os.makedirs(workdir, exist_ok=True)
+    mol = h_chain(n_atoms, d0, basis=basis)
+    eng = IntegralEngine(mol)
+    masses = mol.masses_au()
+    norb = eng.nao
+    ladder = np.array(list(bond_dims) + [bond_dims[-1]])
+    trdm = "sweep-device" if device else "auto"
+
+    def e_and_force(coords):
+        b = eng.compute_jit(np.asarray(coords))
+        trafo = np.array(loewdin_trafo(b.ovlp))
+        h1, h2 = transform_integrals(np.array(b.hcore), np.array(b.eri),
+                                     trafo)
+        mps, en = converge_dmrg(
+            np.array(h1), np.array(h2), mol.nelec, "MPS",
+            bond_dim_schedule=ladder, tolerance=1e-5, restart_tag="MPS",
+            workdir=workdir, device=device)
+        nrm = np.sqrt(float(np.real(mps_overlap(mps, mps))))
+        mps = [t.copy() for t in mps]
+        mps[0] = mps[0] / nrm
+        r1, r2 = mps_transition_rdm12(mps, mps, norb, method=trdm)
+        _, g = _force_fn(eng)(np.asarray(coords), np.real(r1),
+                              np.real(r2))
+        return en + float(b.enuc), -np.array(g)
+
+    c = np.asarray(mol.coords, dtype=float)
+    v = np.zeros_like(c)
+    e, F = e_and_force(c)
+    traj, ens = [], []
+    with open(os.path.join(workdir, "DMRG_trajectory.xyz"), "w") as tf, \
+            open(os.path.join(workdir, "DMRG_energies.txt"), "w") as ef:
+        for step in range(steps):
+            v_half = v + 0.5 * dt * F / masses[:, None]
+            c = c + dt * v_half
+            e, F = e_and_force(c)
+            v = v_half + 0.5 * dt * F / masses[:, None]
+            traj.append(c.copy())
+            ens.append(e)
+            tf.write(f"{n_atoms}\nstep {step}\n")
+            for sym, pos in zip(mol.symbols, c):
+                tf.write(f"{sym} {pos[0]:.8f} {pos[1]:.8f} {pos[2]:.8f}\n")
+            ekin = 0.5 * np.sum(masses[:, None] * v ** 2)
+            ef.write(f"{step}  {e + ekin}  {e}  {ekin}\n")
+            tf.flush()
+            ef.flush()
+    np.save(os.path.join(workdir, "traj_DMRG.npy"), np.array(traj))
+    return np.array(traj), np.array(ens)
 
 
 def main(n_atoms=30, basis="sto-6g", d0=1.9, steps=300, dt=5.0,
@@ -192,10 +300,34 @@ if __name__ == "__main__":
     ap.add_argument("--device", action="store_true",
                     help="run DMRG sweeps + t-RDM extraction on the "
                          "accelerator (solvers/dmrg_jax + dmrg_trdm_device)")
+    ap.add_argument("--check-accuracy", action="store_true",
+                    help="evaluate continued_energies.txt (all training "
+                         "prefixes) along the stored trajectory "
+                         "(md_H30_evcont_from_DMRG_check_accuracy.py)")
+    ap.add_argument("--check-dmrg", action="store_true",
+                    help="with --check-accuracy: also a fresh DMRG "
+                         "reference energy per frame (DMRG_energies.txt)")
+    ap.add_argument("--check-stride", type=int, default=1,
+                    help="frame stride for --check-accuracy")
+    ap.add_argument("--dmrg-reference-md", action="store_true",
+                    help="pure DMRG-per-step MD with Hellmann-Feynman "
+                         "forces at the MPS RDMs "
+                         "(md_H30_reference_DMRG_OAO.py)")
     args = ap.parse_args()
-    main(n_atoms=args.n_atoms, basis=args.basis, steps=args.steps,
-         workdir=args.workdir, train_fci=args.train_fci,
-         train_dmrg=args.train_dmrg, bond_dims=tuple(args.bond_dims),
-         train_dists=tuple(args.train_dists),
-         hf_baseline=args.hf_baseline, dft_baseline=args.dft_baseline,
-         gap_baseline=args.gap_baseline, device=args.device)
+    if args.check_accuracy:
+        check_accuracy(n_atoms=args.n_atoms, basis=args.basis,
+                       workdir=args.workdir, stride=args.check_stride,
+                       dmrg_reference=args.check_dmrg,
+                       bond_dims=tuple(args.bond_dims), device=args.device)
+    elif args.dmrg_reference_md:
+        dmrg_reference_md(n_atoms=args.n_atoms, basis=args.basis,
+                          steps=args.steps, workdir=args.workdir,
+                          bond_dims=tuple(args.bond_dims),
+                          device=args.device)
+    else:
+        main(n_atoms=args.n_atoms, basis=args.basis, steps=args.steps,
+             workdir=args.workdir, train_fci=args.train_fci,
+             train_dmrg=args.train_dmrg, bond_dims=tuple(args.bond_dims),
+             train_dists=tuple(args.train_dists),
+             hf_baseline=args.hf_baseline, dft_baseline=args.dft_baseline,
+             gap_baseline=args.gap_baseline, device=args.device)
