@@ -1,0 +1,127 @@
+"""Training-point energetics for a Zundel-cation active-learning run.
+
+Reference parity: scripts/MD/H2O-H3O+/evaluate_energetics_training_points.py
+— reconstructs the training geometries from a preceding converge_EVCont_MD
+run (traj_EVCont_i.npy + trn_times.txt), then writes, one row per training
+point:
+  * energies_trn_points_DMRG.txt — the training solver's own energy,
+    recovered from the stored diagonal t-RDM contracted with that
+    geometry's OAO integrals (+ E_nuc) (reference :63-68)
+  * energies_trn_points_full_continuation.txt — the full-subspace
+    continuation prediction (:71-73)
+  * energies_trn_points_{CCSD,DFT,HF}.txt — CCSD / B3LYP-RKS / RHF
+    baselines, "converged_value  value" per row with NaN when the solver
+    fails to converge (:75-121)
+
+The t-RDM-vs-continuation column pair is the internal-consistency check:
+at a training geometry the continuation must reproduce the training
+solver's energy to subspace precision.
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+from ..integrals.engine import IntegralEngine
+from ..model import ContinuationModel
+from ..oao import loewdin_trafo, transform_integrals
+from .common import zundel
+
+
+def training_geometries(workdir):
+    """Reference :44-49: first frame of the first trajectory, then the
+    frame each later training point was selected from."""
+    trn_times = list(np.atleast_1d(
+        np.loadtxt(os.path.join(workdir, "trn_times.txt")).astype(int)))
+    trajs = [np.load(os.path.join(workdir, f"traj_EVCont_{i}.npy"))
+             for i in range(len(trn_times))]
+    return [trajs[0][0]] + [trajs[k][trn_times[k + 1]]
+                            for k in range(len(trajs) - 1)]
+
+
+def evaluate_energetics_training_points(mol, workdir=".", methods=(
+        "dmrg", "continuation", "ccsd", "dft", "hf")):
+    overlap = np.load(os.path.join(workdir, "overlap.npy"))
+    one_rdm = np.load(os.path.join(workdir, "one_rdm.npy"))
+    two_rdm = np.load(os.path.join(workdir, "two_rdm.npy"))
+    geoms = training_geometries(workdir)
+    eng = IntegralEngine(mol)
+    model = ContinuationModel(mol, overlap, one_rdm, two_rdm)
+
+    out = {m: [] for m in methods}
+    for i, g in enumerate(geoms):
+        g = np.asarray(g, dtype=float)
+        if "dmrg" in methods or "continuation" in methods:
+            b = eng.compute_jit(g)
+        if "dmrg" in methods:
+            trafo = np.array(loewdin_trafo(b.ovlp))
+            h1, h2 = transform_integrals(np.array(b.hcore),
+                                         np.array(b.eri), trafo)
+            en = (np.sum(one_rdm[i, i] * np.array(h1))
+                  + 0.5 * np.einsum("pqrs,pqrs->", two_rdm[i, i],
+                                    np.array(h2)))
+            out["dmrg"].append(en + float(b.enuc))
+        if "continuation" in methods:
+            out["continuation"].append(float(model.potential(g)))
+        if "ccsd" in methods:
+            try:
+                from ..solvers.ccsd import ccsd
+                from ..solvers.scf import rhf_from_engine
+                hf = rhf_from_engine(eng, coords=g)
+                bb = eng.compute_jit(g)
+                h1m, erim = transform_integrals(
+                    np.array(bb.hcore), np.array(bb.eri), hf.mo_coeff)
+                ec, _ = ccsd(np.array(h1m), np.array(erim),
+                             sum(mol.nelec))
+                e = hf.e_tot + ec
+                out["ccsd"].append((e if hf.converged else np.nan, e))
+            except Exception:
+                out["ccsd"].append((np.nan, np.nan))
+        if "dft" in methods:
+            try:
+                from ..solvers.dft import rks
+                r = rks(eng, coords=g, xc="b3lyp", n_rad=40, angular=26)
+                out["dft"].append(
+                    (r.e_tot if r.converged else np.nan, r.e_tot))
+            except Exception:
+                out["dft"].append((np.nan, np.nan))
+        if "hf" in methods:
+            try:
+                from ..solvers.scf import rhf_from_engine
+                r = rhf_from_engine(eng, coords=g)
+                out["hf"].append(
+                    (r.e_tot if r.converged else np.nan, r.e_tot))
+            except Exception:
+                out["hf"].append((np.nan, np.nan))
+
+    if "dmrg" in methods:
+        np.savetxt(os.path.join(workdir, "energies_trn_points_DMRG.txt"),
+                   np.array(out["dmrg"]))
+    if "continuation" in methods:
+        np.savetxt(
+            os.path.join(workdir,
+                         "energies_trn_points_full_continuation.txt"),
+            np.array(out["continuation"]))
+    for m, name in (("ccsd", "CCSD"), ("dft", "DFT"), ("hf", "HF")):
+        if m in methods:
+            np.savetxt(
+                os.path.join(workdir, f"energies_trn_points_{name}.txt"),
+                np.array(out[m]))
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--basis", default="6-31g")
+    ap.add_argument("--methods", nargs="+",
+                    default=["dmrg", "continuation", "ccsd", "dft", "hf"])
+    args = ap.parse_args(argv)
+    mol = zundel(basis=args.basis)
+    evaluate_energetics_training_points(mol, workdir=args.workdir,
+                                        methods=tuple(args.methods))
+
+
+if __name__ == "__main__":
+    main()
