@@ -111,16 +111,95 @@ def evaluate_energetics_training_points(mol, workdir=".", methods=(
     return out
 
 
+def _oao_density(engine, coords, dm_ao):
+    """AO-basis density -> OAO basis (D_oao = S^1/2 D_ao S^1/2), the
+    layout md/observables.dipole_moment / mulliken_charges consume."""
+    S = np.array(engine.overlap(np.asarray(coords)))
+    w, U = np.linalg.eigh(S)
+    S_half = (U * np.sqrt(w)) @ U.T
+    return S_half @ dm_ao @ S_half
+
+
+def evaluate_dipole_charges_method(mol, method, workdir=".", stride=1,
+                                   trajectory=None):
+    """PES + dipole moments + Mulliken charges along the final
+    continuation trajectory with an independent electronic-structure
+    method (reference: evaluate_dipole_moment_charges_{HF,DFT,CCSD}
+    _final_continuation_trajectory.py — method in {"hf", "dft", "ccsd"};
+    "dft" = B3LYP as in the reference :57). Writes
+    {dipole_moment,atom_charges,energies}_{METHOD}_final_trajectory.txt."""
+    from ..md.observables import dipole_moment, mulliken_charges
+
+    if trajectory is None:
+        n_last = len(np.atleast_1d(
+            np.loadtxt(os.path.join(workdir, "trn_times.txt")))) - 1
+        trajectory = np.load(
+            os.path.join(workdir, f"traj_EVCont_{n_last}.npy"))
+    frames = np.asarray(trajectory)[::stride]
+    eng = IntegralEngine(mol)
+    masses = mol.masses_au()
+    tag = method.upper()
+
+    dips, charges, ens = [], [], []
+    for g in frames:
+        g = np.asarray(g, dtype=float)
+        if method == "hf":
+            from ..solvers.scf import rhf_from_engine
+            r = rhf_from_engine(eng, coords=g)
+            dm_ao, en = r.dm, (r.e_tot if r.converged else np.nan)
+        elif method == "dft":
+            from ..solvers.dft import rks
+            r = rks(eng, coords=g, xc="b3lyp", n_rad=40, angular=26)
+            dm_ao, en = r.dm, (r.e_tot if r.converged else np.nan)
+        elif method == "ccsd":
+            from ..solvers.ccsd import ccsd_rdm1
+            from ..solvers.scf import rhf_from_engine
+            hf = rhf_from_engine(eng, coords=g)
+            b = eng.compute_jit(g)
+            h1m, erim = transform_integrals(
+                np.array(b.hcore), np.array(b.eri), hf.mo_coeff)
+            D_mo, e_elec = ccsd_rdm1(np.array(h1m), np.array(erim),
+                                     sum(mol.nelec))
+            dm_ao = hf.mo_coeff @ D_mo @ hf.mo_coeff.T
+            en = e_elec + float(b.enuc) if hf.converged else np.nan
+        else:
+            raise ValueError(method)
+        d_oao = _oao_density(eng, g, np.asarray(dm_ao))
+        dips.append(np.array(dipole_moment(eng, masses, g, d_oao)))
+        charges.append(np.array(mulliken_charges(eng, g, d_oao)))
+        ens.append(en)
+
+    np.savetxt(os.path.join(
+        workdir, f"dipole_moment_{tag}_final_trajectory.txt"),
+        np.array(dips))
+    np.savetxt(os.path.join(
+        workdir, f"atom_charges_{tag}_final_trajectory.txt"),
+        np.array(charges))
+    np.savetxt(os.path.join(
+        workdir, f"energies_{tag}_final_trajectory.txt"), np.array(ens))
+    return np.array(dips), np.array(charges), np.array(ens)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--basis", default="6-31g")
     ap.add_argument("--methods", nargs="+",
                     default=["dmrg", "continuation", "ccsd", "dft", "hf"])
+    ap.add_argument("--final-trajectory", choices=["hf", "dft", "ccsd"],
+                    help="instead of training-point energetics: dipole/"
+                         "charges/PES along the final trajectory with "
+                         "this method")
+    ap.add_argument("--stride", type=int, default=1)
     args = ap.parse_args(argv)
     mol = zundel(basis=args.basis)
-    evaluate_energetics_training_points(mol, workdir=args.workdir,
-                                        methods=tuple(args.methods))
+    if args.final_trajectory:
+        evaluate_dipole_charges_method(mol, args.final_trajectory,
+                                       workdir=args.workdir,
+                                       stride=args.stride)
+    else:
+        evaluate_energetics_training_points(mol, workdir=args.workdir,
+                                            methods=tuple(args.methods))
 
 
 if __name__ == "__main__":

@@ -38,3 +38,48 @@ def test_ccsd_near_fci_h4():
     assert res.e_tot + ec < res.e_tot          # captures correlation
     assert abs(res.e_tot + ec - e_fci) < 1e-4  # close to exact
     assert abs(res.e_tot + ec + et - e_fci) < 1e-4
+
+
+def test_ccsd_rdm1_matches_fci_for_two_electrons():
+    """For 2 electrons CCSD is exact, so the adjoint-VJP (Lambda)
+    response density must equal the FCI density to machine precision."""
+    from evcont_tpu.solvers.ccsd import ccsd_rdm1
+    from evcont_tpu.solvers.fci import FCISolver
+
+    mol = Molecule.build([("H", (0, 0, 0)), ("H", (0, 0, 1.4))],
+                         basis="6-31g")
+    _, h1m, erim = _mo_ints(mol)
+    D, e_tot = ccsd_rdm1(h1m, erim, 2)
+    assert abs(np.trace(D) - 2.0) < 1e-12
+    s = FCISolver(h1m.shape[0], (1, 1), spin=None)
+    e_fci, ci = s.kernel(h1m, erim)
+    r1, _ = s.trans_rdm12(ci, ci)
+    assert abs(e_tot - e_fci) < 1e-9
+    assert np.abs(D - r1).max() < 1e-9
+
+
+def test_ccsd_rdm1_is_response_density_h4():
+    """trace(D V) must equal the derivative of the (fixed-orbital) total
+    CC energy under h1 -> h1 + eps*V — the defining property of the
+    Lambda-equation density."""
+    from evcont_tpu.solvers.ccsd import (ccsd_rdm1, spin_orbital_integrals,
+                                         _e_total_so)
+
+    mol = Molecule.build([("H", (0, 0, 1.8 * i)) for i in range(4)],
+                         basis="sto-3g")
+    _, h1m, erim = _mo_ints(mol)
+    D, _ = ccsd_rdm1(h1m, erim, 4)
+    assert abs(np.trace(D) - 4.0) < 1e-10
+
+    rng = np.random.default_rng(0)
+    V = rng.normal(size=h1m.shape)
+    V = 0.5 * (V + V.T)
+    eps = 1e-5
+
+    def etot(hh):
+        _, amps = ccsd(hh, erim, 4, conv_tol=1e-12)
+        h_so, v_so, _ = spin_orbital_integrals(hh, erim, 4)
+        return float(_e_total_so(amps[0], amps[1], h_so, v_so))
+
+    fd = (etot(h1m + eps * V) - etot(h1m - eps * V)) / (2 * eps)
+    assert abs(fd - np.sum(D * V)) < 1e-7
