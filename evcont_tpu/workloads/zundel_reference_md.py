@@ -76,11 +76,40 @@ def energy_and_force(method, engine, mol, coords, eps=2e-3):
     return e0, force
 
 
+def _method_density_ao(method, engine, mol, coords):
+    """The method's one-particle density in the AO basis at a geometry
+    (HF/B3LYP: SCF density; CCSD: adjoint-VJP Lambda response density)."""
+    coords = np.asarray(coords, dtype=float)
+    if method == "hf":
+        from ..solvers.scf import rhf_from_engine
+        return rhf_from_engine(engine, coords=coords).dm
+    if method in ("pbe", "b3lyp", "camb3lyp"):
+        from ..solvers.dft import rks
+        return rks(engine, coords=coords, xc=method, n_rad=40,
+                   angular=26).dm
+    if method == "ccsd":
+        from ..oao import transform_integrals
+        from ..solvers.ccsd import ccsd_rdm1
+        from ..solvers.scf import rhf_from_engine
+        hf = rhf_from_engine(engine, coords=coords)
+        b = engine.compute_jit(coords)
+        h1m, erim = transform_integrals(np.array(b.hcore),
+                                        np.array(b.eri), hf.mo_coeff)
+        D_mo, _ = ccsd_rdm1(np.array(h1m), np.array(erim),
+                            sum(mol.nelec))
+        return hf.mo_coeff @ D_mo @ hf.mo_coeff.T
+    raise ValueError(method)
+
+
 def main(method="hf", steps=20, dt=25.0, T=298.15, taut=250.0, seed=0,
-         workdir="."):
+         workdir=".", observables=False):
     """Host-driven velocity-Verlet + Berendsen NVT (the reference method
     evaluations are host solvers, so the MD loop runs on host; the
-    continuation MDs use the on-device scan in md/driver.py)."""
+    continuation MDs use the on-device scan in md/driver.py).
+
+    observables=True records per-step dipole moments and Mulliken charges
+    from the method's own density (reference: md_H2O-H3O+_{HF,DFT,CCSD}.py
+    write dipole_moment_*.txt / atom_charges_*.txt alongside the MD)."""
     import jax
     from ..md.integrators import maxwell_boltzmann
 
@@ -94,7 +123,7 @@ def main(method="hf", steps=20, dt=25.0, T=298.15, taut=250.0, seed=0,
 
     kB = 3.166811563e-6  # Ha/K
     ndof = 3 * mol.natm
-    traj, ens = [], []
+    traj, ens, dips, chgs = [], [], [], []
     e, F = energy_and_force(method, engine, mol, c)
     t_start = time.time()
     for step in range(steps):
@@ -111,6 +140,14 @@ def main(method="hf", steps=20, dt=25.0, T=298.15, taut=250.0, seed=0,
         v = v * lam
         traj.append(c.copy())
         ens.append(e)
+        if observables:
+            from ..md.observables import dipole_moment, mulliken_charges
+            from .zundel_energetics import _oao_density
+            d_oao = _oao_density(engine, c,
+                                 np.asarray(_method_density_ao(
+                                     method, engine, mol, c)))
+            dips.append(np.array(dipole_moment(engine, masses, c, d_oao)))
+            chgs.append(np.array(mulliken_charges(engine, c, d_oao)))
         if (step + 1) % 5 == 0:
             print(f"[{method}] step {step + 1}/{steps} E={e:.6f} "
                   f"T={T_now:.0f}K ({(time.time() - t_start) / (step + 1):.1f}"
@@ -120,6 +157,12 @@ def main(method="hf", steps=20, dt=25.0, T=298.15, taut=250.0, seed=0,
     np.save(os.path.join(workdir, f"traj_{method}_seed{seed}.npy"), traj)
     np.savetxt(os.path.join(workdir, f"ens_{method}_seed{seed}.txt"),
                np.array(ens))
+    if observables:
+        tag = method.upper() if method != "b3lyp" else "DFT"
+        np.savetxt(os.path.join(workdir, f"dipole_moment_{tag}.txt"),
+                   np.array(dips))
+        np.savetxt(os.path.join(workdir, f"atom_charges_{tag}.txt"),
+                   np.array(chgs))
     return traj, np.array(ens)
 
 
@@ -130,6 +173,9 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workdir", default=".")
+    ap.add_argument("--observables", action="store_true",
+                    help="record per-step dipole + Mulliken charges from "
+                         "the method density")
     args = ap.parse_args()
     main(method=args.method, steps=args.steps, seed=args.seed,
-         workdir=args.workdir)
+         workdir=args.workdir, observables=args.observables)
