@@ -37,14 +37,16 @@ def _sqrtm_psd(S):
 
 
 class CASCIBackend(EVContBackend):
-    def __init__(self, ncas, nelecas, method="wick"):
+    def __init__(self, ncas, nelecas, method="wick", compress=False):
         """
         Args:
             ncas: number of active orbitals.
             nelecas: active electrons (int or (na, nb)).
             method: "wick" | "fullspace" (see module docstring).
+            compress: maintain the store in the fully compressed pair +
+                exchange layouts (see EVContBackend).
         """
-        super().__init__()
+        super().__init__(compress=compress)
         self.ncas = ncas
         self.nelecas = nelecas
         assert method in ("wick", "fullspace")

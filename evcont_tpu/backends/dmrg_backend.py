@@ -41,7 +41,8 @@ def reference_ladder(max_bond_dim=256):
 class DMRGBackend(EVContBackend):
     def __init__(self, bond_dims=None, sweeps_per_dim=2,
                  penalty=8.0, trdm_method="dense", max_bond_dim=256,
-                 workdir=None, tolerance=1.0e-4, device=False):
+                 workdir=None, tolerance=1.0e-4, device=False,
+                 compress=False):
         """
         Args:
             bond_dims: bond-dimension ladder; defaults to the reference's
@@ -60,8 +61,10 @@ class DMRGBackend(EVContBackend):
                 (solvers/dmrg_trdm_device) so all solver FLOPs run on
                 the accelerator (H30 scale: ~12 s/pair on one v5e chip
                 vs ~200 s host numpy).
+            compress: maintain the store in the fully compressed pair +
+                exchange layouts (see EVContBackend).
         """
-        super().__init__()
+        super().__init__(compress=compress)
         self.bond_dims = tuple(bond_dims) if bond_dims is not None \
             else reference_ladder(max_bond_dim)
         self.sweeps_per_dim = sweeps_per_dim

@@ -25,7 +25,7 @@ from .base import EVContBackend
 
 class FCIBackend(EVContBackend):
     def __init__(self, cibasis="OAO", nroots=1, roots_train=None,
-                 spin="singlet"):
+                 spin="singlet", compress=False):
         """
         Args:
             cibasis: orbital basis for the CI solve ('OAO' only; see module
@@ -35,8 +35,10 @@ class FCIBackend(EVContBackend):
                 trains on ground + first excited state at each geometry).
             spin: 'singlet' restricts the CI to the symmetric (S even)
                 sector like pyscf's direct_spin0; None allows all states.
+            compress: maintain the store in the fully compressed pair +
+                exchange layouts (see EVContBackend).
         """
-        super().__init__()
+        super().__init__(compress=compress)
         assert cibasis in ("OAO", "canonical", "split"), cibasis
         self.cibasis = cibasis
         self.nroots = nroots

@@ -36,15 +36,27 @@ class HostWorkerBackend(EVContBackend):
     """Duck-typed EVCont backend whose append/prune calls execute inside a
     persistent CPU-f64 subprocess running `factory(**kwargs)`.
 
+    The worker pickles its full training state (wavefunctions included) to
+    `<workdir>/solver_state.pkl` after every append, so a crashed
+    active-learning run resumes without re-solving: construct with
+    resume=True and the worker reloads the snapshot while the parent
+    re-mirrors the grown store.
+
     Args:
         factory: "module.path:ClassName" of the real backend, e.g.
             "evcont_tpu.backends.dmrg_backend:DMRGBackend".
         kwargs: JSON-serializable constructor kwargs for the real backend.
         workdir: directory for the worker config, row payloads, and log.
+        compress: mirror the store in the fully compressed pair + exchange
+            layouts (pass compress=True in `kwargs` too to keep the
+            worker-side store small as well).
+        resume: reload `<workdir>/solver_state.pkl` into the worker and
+            re-mirror its store (raises if the snapshot is missing).
     """
 
-    def __init__(self, factory, kwargs=None, workdir="."):
-        super().__init__()
+    def __init__(self, factory, kwargs=None, workdir=".", compress=False,
+                 resume=False):
+        super().__init__(compress=compress)
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
         cfg_path = os.path.join(workdir, "host_worker_cfg.json")
@@ -58,6 +70,22 @@ class HostWorkerBackend(EVContBackend):
             stderr=self._log, text=True,
             cwd=os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))))
+        if resume:
+            resp = self._rpc({"cmd": "load"})
+            with np.load(resp["store_npz"]) as st:
+                ov, r1, r2 = st["overlap"], st["one_rdm"], st["two_rdm"]
+            os.remove(resp["store_npz"])
+            if self.compress and r1.ndim == 4:
+                # worker snapshot kept full layouts; compress host-side in
+                # f64 (to_pair_layout's device path would downcast on a
+                # non-x64 parent)
+                from .base import _pack_exchange
+                rows, cols = np.tril_indices(ov.shape[0])
+                r1 = r1[rows, cols]
+                r2 = np.stack([_pack_exchange(r) for r in r2[rows, cols]])
+            self.overlap, self.one_rdm, self.two_rdm = ov, r1, r2
+            self.ens = list(resp["ens"])
+            self.mol_index = list(resp["mol_index"])
 
     def _rpc(self, obj):
         self._proc.stdin.write(json.dumps(obj) + "\n")
@@ -130,10 +158,29 @@ def _worker_main():
     backend = getattr(importlib.import_module(mod_name), cls_name)(
         **cfg["kwargs"])
     workdir = os.path.dirname(os.path.abspath(cfg_path))
+    state_pkl = os.path.join(workdir, "solver_state.pkl")
 
     def reply(obj):
         sys.stdout.write(_SENTINEL + json.dumps(obj) + "\n")
         sys.stdout.flush()
+
+    def persist():
+        import pickle
+        tmp = state_pkl + ".tmp"
+        with open(tmp, "wb") as fh:
+            pickle.dump(backend.snapshot(), fh, protocol=4)
+        os.replace(tmp, state_pkl)
+
+    def new_row():
+        """(ovlp, rdm1, rdm2) of the newest state vs all states, for either
+        store layout (compressed: the last ntrain pair entries ARE the new
+        tril row)."""
+        n = backend.ntrain
+        if getattr(backend, "compress", False):
+            return (backend.overlap[-1], backend.one_rdm[-n:],
+                    backend.two_rdm[-n:])
+        return (backend.overlap[-1], backend.one_rdm[-1],
+                backend.two_rdm[-1])
 
     for line in sys.stdin:
         line = line.strip()
@@ -150,17 +197,28 @@ def _worker_main():
                     basis=cmd["basis"], charge=cmd["charge"],
                     spin=cmd["spin"], unit="Bohr")
                 backend.append_to_rdms(mol)
+                persist()
+                ovlp, rdm1, rdm2 = new_row()
                 row_npz = os.path.join(
                     workdir, f"row_{backend.ntrain - 1}.npz")
-                np.savez(row_npz, ovlp=backend.overlap[-1],
-                         rdm1=backend.one_rdm[-1],
-                         rdm2=backend.two_rdm[-1])
+                np.savez(row_npz, ovlp=ovlp, rdm1=rdm1, rdm2=rdm2)
                 reply({"ok": True, "row_npz": row_npz,
                        "ens": [float(e) for e in backend.ens],
                        "mol_index": [int(i) for i in backend.mol_index]})
             elif cmd["cmd"] == "prune":
                 backend.prune_datapoints(cmd["keep_ids"])
+                persist()
                 reply({"ok": True})
+            elif cmd["cmd"] == "load":
+                import pickle
+                with open(state_pkl, "rb") as fh:
+                    backend.restore(pickle.load(fh))
+                store_npz = os.path.join(workdir, "resume_store.npz")
+                np.savez(store_npz, overlap=backend.overlap,
+                         one_rdm=backend.one_rdm, two_rdm=backend.two_rdm)
+                reply({"ok": True, "store_npz": store_npz,
+                       "ens": [float(e) for e in backend.ens],
+                       "mol_index": [int(i) for i in backend.mol_index]})
             else:
                 reply({"ok": False, "error": f"unknown cmd {cmd['cmd']}"})
         except Exception as exc:  # report, keep serving

@@ -20,6 +20,7 @@ rank gymnastics disappear under JAX's single-controller model.
 
 import os
 
+import jax
 import numpy as np
 
 from ..md.driver import get_trajectory
@@ -190,9 +191,17 @@ def converge_EVCont_MD(backend, init_mol, steps=100, dt=1.0,
         reference_ens = np.full_like(updated_ens, updated_ens[0])
         converged = False
 
-    engine = ContinuationModel.from_backend(init_mol, backend).engine
+    from ..integrals.engine import IntegralEngine
+    engine = IntegralEngine(init_mol)
 
     for _ in range(max_iterations):
+        # Drop all jit caches between iterations: the store shapes grow
+        # every pass (forcing recompiles anyway), and the cache keys of
+        # the model's static-self jits would otherwise retain every
+        # iteration's device-resident store — the accumulation exhausts
+        # HBM after ~16 Zundel-size iterations (measured). The persistent
+        # on-disk compile cache keeps repeated shapes cheap.
+        jax.clear_caches()
         en_diff = np.abs(reference_ens - updated_ens)
         np.savetxt(os.path.join(workdir, f"en_diff_{i}.txt"), en_diff)
         i += 1
