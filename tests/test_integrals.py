@@ -186,12 +186,17 @@ def test_h2_ccpvtz_rhf():
 def test_h2o_ccpvtz_rhf_literature():
     """cc-pVTZ O data incl. the f shell: literature RHF/cc-pVTZ at the
     experimental geometry (reference vtz workloads,
-    scripts/MD/H2O/md_H2O_vtz_CAS_continuation.py:20-21). First compile of
-    the 58-AO integral graph is slow; cached persistently afterwards."""
+    scripts/MD/H2O/md_H2O_vtz_CAS_continuation.py:20-21). The 58-AO
+    integral values are disk-cached keyed by the engine source hash
+    (conftest.cached_bundle) — recomputed from scratch whenever any
+    integrals/ source changes."""
+    from conftest import cached_bundle
+    from evcont_tpu.solvers.scf import rhf
+
     mol = water("cc-pvtz")
-    eng = IntegralEngine(mol)
-    assert eng.nao == 58
-    res = rhf_from_engine(eng)
+    ovlp, hcore, eri, enuc = cached_bundle(mol)
+    assert ovlp.shape == (58, 58)
+    res = rhf(ovlp, hcore, eri, enuc, mol.nelec)
     assert res.converged
     assert abs(res.e_tot - (-76.0571685)) < 2e-5
 

@@ -31,20 +31,31 @@ def test_h6_excited_workload(tmp_path):
     assert np.abs(ms[:, 2] - ex[:, 2]).max() < 5e-2
 
 
-def test_zundel_pipeline_stages(tmp_path):
+@pytest.fixture(scope="module")
+def zundel_trained(tmp_path_factory):
+    """Stages 1-3 of the Zundel pipeline (training-set selection, CAS
+    solves, pair t-RDMs) on a reduced water system — shared between the
+    stage-4/5 tests below, which only differ downstream."""
     from evcont_tpu.workloads import zundel_pipeline as zp
     mol = water("sto-3g")
     rng = np.random.default_rng(0)
     pool = np.asarray(mol.coords)[None] \
         + 0.08 * rng.standard_normal((12, mol.natm, 3))
-    wd = str(tmp_path)
+    wd = str(tmp_path_factory.mktemp("zundel_pipeline"))
     n_train = 2
     zp.stage1_select_training_set(mol, [pool], n_train, workdir=wd)
     for i in range(n_train):
         zp.stage2_solve_training_state(mol, i, workdir=wd)
-    for i in range(n_train):
         for j in range(i + 1):
             zp.stage3_pair_trdm(mol, i, j, workdir=wd)
+    return mol, wd, n_train
+
+
+def test_zundel_pipeline_stages(zundel_trained):
+    from evcont_tpu.workloads import zundel_pipeline as zp
+    mol, wd, n_train = zundel_trained
+    import pathlib
+    tmp_path = pathlib.Path(wd)
     coords, dips, charges = zp.stage4_continuation_md(
         mol, n_train, seed=1, steps=5, dt=10.0, workdir=wd)
     assert coords.shape == (5, 3, 3)
@@ -163,21 +174,12 @@ def test_zundel_reference_md_baselines(tmp_path):
     assert e_cc < ehf  # correlation lowers the energy
 
 
-def test_zundel_stage4_ensemble(tmp_path):
+def test_zundel_stage4_ensemble(zundel_trained):
     """The vmapped multi-seed stage 4 must produce per-seed trajectories
     matching the single-seed driver's dynamics shape-wise and starting
     from the same Maxwell-Boltzmann draws."""
     from evcont_tpu.workloads import zundel_pipeline as zp
-    mol = water("sto-3g")
-    rng = np.random.default_rng(0)
-    pool = np.asarray(mol.coords)[None] \
-        + 0.08 * rng.standard_normal((8, mol.natm, 3))
-    wd = str(tmp_path)
-    zp.stage1_select_training_set(mol, [pool], 2, workdir=wd)
-    for i in range(2):
-        zp.stage2_solve_training_state(mol, i, workdir=wd)
-        for j in range(i + 1):
-            zp.stage3_pair_trdm(mol, i, j, workdir=wd)
+    mol, wd, _ = zundel_trained
     out = zp.stage4_continuation_md_ensemble(
         mol, 2, seeds=(3, 4), steps=7, dt=10.0, workdir=wd, chunk_steps=4)
     assert out["coords"].shape == (2, 7, 3, 3)
