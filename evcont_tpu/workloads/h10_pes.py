@@ -226,6 +226,10 @@ if __name__ == "__main__":
     ap.add_argument("--n-exact", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workdir", default=".")
+    ap.add_argument("--no-gap-baseline", action="store_true",
+                    help="skip the GAP/SOAP baseline fit/evaluation "
+                         "(reference Fig. 2 comparison; on by default)")
     args = ap.parse_args()
     main(n_atoms=args.n_atoms, n_test=args.n_test, n_exact=args.n_exact,
-         seed=args.seed, workdir=args.workdir)
+         seed=args.seed, workdir=args.workdir,
+         gap_baseline=not args.no_gap_baseline)
