@@ -186,3 +186,49 @@ def test_zundel_stage4_ensemble(zundel_trained):
     assert np.all(np.isfinite(out["epot"]))
     # seeds differ (independent Maxwell-Boltzmann draws)
     assert np.abs(out["coords"][0] - out["coords"][1]).max() > 1e-6
+
+
+def test_zundel_al_smoke_resume_and_replay(tmp_path):
+    """On-the-fly Zundel AL (zundel_al.py) at toy scale: fresh run, then
+    the two crash-recovery branches — resume from the worker snapshot,
+    and the legacy replay of training geometries when only the store
+    artifacts survive (the branch that recovered the production run)."""
+    import os
+    from evcont_tpu.workloads import zundel_al
+
+    wd = str(tmp_path)
+    kw = dict(workdir=wd, basis="sto-3g", ncas=4, nelecas=2,
+              steps=6, dt=10.0)
+    zundel_al.run(max_iterations=1, **kw)
+    assert (tmp_path / "traj_EVCont_0.npy").exists()
+    assert (tmp_path / "solver_state.pkl").exists()
+    tt = np.loadtxt(tmp_path / "trn_times.txt").reshape(-1)
+    assert len(tt) >= 1
+
+    # resume from the snapshot and run one more iteration
+    traj = zundel_al.run(max_iterations=2, **kw)
+    assert np.all(np.isfinite(traj))
+    assert (tmp_path / "en_diff_1.txt").exists()
+
+    # legacy-checkpoint replay: drop the snapshot, keep the store
+    os.remove(tmp_path / "solver_state.pkl")
+    traj = zundel_al.run(max_iterations=2, **kw)
+    assert np.all(np.isfinite(traj))
+    assert (tmp_path / "solver_state.pkl").exists()
+
+
+def test_h30_al_smoke_and_resume(tmp_path):
+    """On-the-fly H-chain AL from the in-framework DMRG backend
+    (h30_al.py) at toy scale, plus resume from the per-append snapshot."""
+    from evcont_tpu.workloads import h30_al
+
+    wd = str(tmp_path)
+    kw = dict(workdir=wd, n_atoms=4, d0=1.8, steps=6, dt=10.0,
+              bond_dims=(8,))
+    h30_al.run(max_iterations=1, **kw)
+    assert (tmp_path / "solver_state.pkl").exists()
+    assert (tmp_path / "traj_EVCont_0.npy").exists()
+
+    traj = h30_al.run(max_iterations=2, **kw)
+    assert np.all(np.isfinite(traj))
+    assert (tmp_path / "en_diff_1.txt").exists()
