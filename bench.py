@@ -172,16 +172,40 @@ def worker_tpu32():
     print(f"[bench] batch={batch_used} rep times="
           f"{[round(t, 3) for t in rep_times]} s", file=sys.stderr)
 
-    _, batch1 = eval_geometry(1)
+    mol, batch1 = eval_geometry(1)
     c = batch1[0]
     e_f32, f_f32 = model.potential_and_forces(c)
     model.enable_compensated()   # store values are exactly f32: lo = 0
     e_comp = float(model.potential_compensated(c))
+
+    # MD steps/sec — the second half of the BASELINE.json metric: a whole
+    # NVE trajectory as ONE on-device lax.scan at the same 84-state store
+    # (the reference's MD scanner round-trips host<->libcint every step,
+    # MD_utils.py:20-57; here the step body is the jitted pipeline).
+    md_steps_per_sec = None
+    try:
+        from evcont_tpu.md.integrators import run_nve
+        masses = mol.masses_au().astype(np.float32)
+        efn = model.energy_fn()
+        n_md = 100
+        run_md = jax.jit(lambda cc: run_nve(efn, masses, cc, None,
+                                            np.float32(5.0), n_md))
+        np.array(run_md(c)["epot"])           # compile + first run
+        t0 = time.time()
+        np.array(run_md(c * np.float32(1.0 + 1e-6))["epot"])
+        md_steps_per_sec = n_md / (time.time() - t0)
+        print(f"[bench] MD: {md_steps_per_sec:.1f} steps/s "
+              f"({n_md}-step on-device NVE scan, dt=5)", file=sys.stderr)
+    except Exception as err:   # the MD rung must not sink the benchmark
+        print(f"[bench] MD rung failed: {type(err).__name__}: {err}",
+              file=sys.stderr)
+
     print(json.dumps({
         "evals_per_sec": evals_per_sec, "batch": batch_used,
         "rep_times": rep_times, "e_f32": float(e_f32),
         "f_f32": np.asarray(f_f32, dtype=np.float64).ravel().tolist(),
-        "e_comp": e_comp, "store_md5": store_hash(model.overlap),
+        "e_comp": e_comp, "md_steps_per_sec": md_steps_per_sec,
+        "store_md5": store_hash(model.overlap),
     }))
 
 
@@ -260,6 +284,9 @@ def main():
 
     print(f"[bench] CPU f64: {ref['cpu_eval_seconds']:.2f} s/eval "
           f"({cpu_evals_per_sec:.4f} evals/s)", file=sys.stderr)
+    if r32.get("md_steps_per_sec"):
+        print(f"[bench] MD steps/sec (100-step on-device NVE scan): "
+              f"{r32['md_steps_per_sec']:.1f}", file=sys.stderr)
     print(f"[bench] precision ladder vs CPU f64 at ntrain={NTRAIN}:",
           file=sys.stderr)
     print(f"[bench]   f32:        |dE| = {abs(r32['e_f32'] - e_ref):.3e} Ha"
