@@ -98,6 +98,50 @@ def _conv_table(nb, nk, L):
     return table.reshape(-1)
 
 
+def _conv_onehot(nb, nk, L):
+    """The _conv_table gather as a 0/1 matrix ((L+1)^3, nb^3*nk^3): on TPU
+    a last-axis gather lowers to element-serial loads, while the identical
+    linear map as a GEMM rides the MXU (measured 2-5x per quartet class,
+    tpu_micro_contract.py)."""
+    tab = _conv_table(nb, nk, L)
+    onehot = np.zeros(((L + 1) ** 3, nb ** 3 * nk ** 3), dtype=np.float64)
+    onehot[tab, np.arange(tab.size)] = 1.0
+    return onehot
+
+
+def _quartet_contract(Rd_flat, E3b, E3k, onehot, nb3, nk3):
+    """Angular contraction block[a,b,i,j] = sum_{t,u} E3b[a,i,t] E3k[b,j,u]
+    M[a,b,t,u] with M = Rd_flat @ onehot (the Hermite t+u convolution).
+
+    The formulation is chosen statically per quartet-class shape from TPU
+    measurements (tpu_micro_contract.py; the naive gather+triple-einsum
+    costs 2-5x more on every class with angular momentum):
+      * nb3 == nk3 == 1 (ss|ss): plain elementwise product.
+      * nb3 == 1 (ss|ket):       one-hot GEMM + single einsum ("B").
+      * small grids or balanced: fold the one-hot into the bra tensor,
+        contract the raw Rd directly ("G") — also skips materializing
+        the (a,b,nb3,nk3) M tensor (nb3 -> i shrinks it).
+      * tall ket (nk3 > nb3):    two-step ket-first contraction ("C").
+    """
+    n1, n2 = Rd_flat.shape[0], Rd_flat.shape[1]
+    s = Rd_flat.shape[2]
+    if nb3 == 1 and nk3 == 1:
+        return (Rd_flat.reshape(n1, n2, 1, 1)
+                * E3b[:, None, :, 0, None] * E3k[None, :, None, :, 0])
+    W1 = jnp.asarray(onehot, dtype=Rd_flat.dtype)
+    if nb3 == 1:
+        M = jnp.einsum("abs,so->abo", Rd_flat, W1)
+        M = M.reshape(n1, n2, nb3, nk3)
+        return jnp.einsum("ait,abtu,bju->abij", E3b, M, E3k)
+    if n1 * n2 <= 4096 or nk3 <= nb3:
+        W = jnp.einsum("ait,sto->aiso", E3b, W1.reshape(s, nb3, nk3))
+        T1 = jnp.einsum("aiso,abs->abio", W, Rd_flat)
+        return jnp.einsum("abio,bjo->abij", T1, E3k)
+    M = jnp.einsum("abs,so->abo", Rd_flat, W1).reshape(n1, n2, nb3, nk3)
+    T1 = jnp.einsum("abtu,bju->abtj", M, E3k)
+    return jnp.einsum("ait,abtj->abij", E3b, T1)
+
+
 class IntegralEngine:
     def __init__(self, mol: Molecule):
         self.mol = mol
@@ -421,10 +465,7 @@ class IntegralEngine:
                 PQ = bra["P"][:, None, :] - ket["P"][None, :, :]
                 Rd = hermite_R_dense(L, alpha, PQ)     # (n1, n2, L+1,L+1,L+1)
                 n1, n2 = Rd.shape[0], Rd.shape[1]
-                table = _conv_table(bra["L"] + 1, ket["L"] + 1, L)
-                M = Rd.reshape(n1, n2, -1)[:, :, table]
                 nb3, nk3 = (bra["L"] + 1) ** 3, (ket["L"] + 1) ** 3
-                M = M.reshape(n1, n2, nb3, nk3)
 
                 # fold the (-1)^(tau+nu+phi) parity into the ket tensor
                 par = np.array([
@@ -444,8 +485,9 @@ class IntegralEngine:
                     # the full n1 x n1 grid contains both (P1, P2) orders,
                     # which the (1 + T3) pass would double-count
                     pref = pref * 0.5
-                block = jnp.einsum("ait,abtu,bju->abij",
-                                   bra["E3"], M, E3k)
+                block = _quartet_contract(
+                    Rd.reshape(n1, n2, -1), bra["E3"], E3k,
+                    _conv_onehot(bra["L"] + 1, ket["L"] + 1, L), nb3, nk3)
                 block = block * pref[:, :, None, None]
                 # contract primitives -> contracted shell pairs (two small
                 # static GEMMs) so the scatter below touches only the
