@@ -67,6 +67,35 @@ def main():
               f"({t / N * 1e3:6.2f} ms/mv amortized, "
               f"{gib / (t / N):6.1f} GiB/s)")
 
+    # the batched fwd/bwd GEMM shapes of the assembly under value_and_grad
+    # at batch B geometries, amortized over N in-dispatch repeats
+    B, N = 32, 8
+    XB = jax.random.normal(key, (N, npacked, B), dtype=jnp.float32)
+    YB = jax.random.normal(key, (N, npair, B), dtype=jnp.float32)
+
+    def amort(name, step, xs):
+        def many(a, xs_):
+            def s(_, x):
+                return 0, step(a, x)
+            _, outs = jax.lax.scan(s, 0, xs_)
+            return outs
+        t = timed(jax.jit(many), A, xs, reps=reps)
+        print(f"{name:28s} {t * 1e3:8.2f} ms   ({t / N * 1e3:6.2f} ms/call, "
+              f"{gib / (t / N):6.1f} GiB/s)")
+
+    # forward: H = A @ X  (npair, B)
+    amort(f"fwd A@X B={B} xN={N}",
+          lambda a, x: jax.lax.dot_general(
+              a, x, (((1,), (0,)), ((), ())), precision="highest"), XB)
+    # backward, transposed-stream form: G = A.T @ Y  (npacked, B)
+    amort(f"bwd A.T@Y B={B} xN={N}",
+          lambda a, y: jax.lax.dot_general(
+              a, y, (((0,), (0,)), ((), ())), precision="highest"), YB)
+    # backward, row-major-stream form: G = (Y.T @ A).T
+    amort(f"bwd (Y.T@A) B={B} xN={N}",
+          lambda a, y: jax.lax.dot_general(
+              y, a, (((0,), (0,)), ((), ())), precision="highest"), YB)
+
 
 if __name__ == "__main__":
     main()
