@@ -54,7 +54,7 @@ import time
 import numpy as np
 
 NTRAIN = 84
-BATCH_CANDIDATES = (32, 16, 8)
+BATCH_CANDIDATES = (64, 32, 16, 8)
 REPS = 5
 SEED = 0
 
@@ -135,7 +135,11 @@ def _build_model(overlap_f64=False, store_f64=False):
         # (CPU reference only — the TPU keeps the store f32 in HBM)
         r1 = np.asarray(r1, dtype=np.float64)
         r2 = np.asarray(r2, dtype=np.float64)
-    return ContinuationModel(mol, ov, r1, r2), batch, nao
+    # the synthetic store's slot order carries no physical meaning, so it
+    # is declared RFP-native: no 4-GiB conversion copy on device, and the
+    # CPU-f64 reference interprets the identical bits the same way
+    return ContinuationModel(mol, ov, r1, r2,
+                             packed_layout="rfp-native"), batch, nao
 
 
 def worker_tpu32():
@@ -147,6 +151,9 @@ def worker_tpu32():
           f"ntrain={NTRAIN} store={npair}x{npacked} "
           f"({npair * npacked * 4 / 2**30:.2f} GiB f32)", file=sys.stderr)
 
+    # probe every candidate batch size that fits and keep the fastest —
+    # per-eval cost is not monotone in batch (HBM pressure vs dispatch
+    # amortization), so "first that fits" can leave throughput on the table
     evals_per_sec, batch_used, rep_times = None, None, []
     for B in BATCH_CANDIDATES:
         try:
@@ -154,16 +161,17 @@ def worker_tpu32():
             e, F = model.potential_and_forces_batch(batch)
             np.array(e)   # force a host sync (block_until_ready is a
             #               no-op through the axon tunnel)
-            rep_times = []
+            times = []
             for rep in range(REPS):
                 t0 = time.time()
                 e, F = model.potential_and_forces_batch(
                     batch + np.float32(1e-5 * (rep + 1)))
                 np.array(e)
-                rep_times.append(time.time() - t0)
-            evals_per_sec = B / float(np.median(rep_times))
-            batch_used = B
-            break
+                times.append(time.time() - t0)
+            eps = B / float(np.median(times))
+            print(f"[bench] batch={B}: {eps:.1f} evals/s", file=sys.stderr)
+            if evals_per_sec is None or eps > evals_per_sec:
+                evals_per_sec, batch_used, rep_times = eps, B, times
         except Exception as err:  # OOM at this batch size: step down
             print(f"[bench] batch {B} failed ({type(err).__name__}); "
                   "trying smaller", file=sys.stderr)

@@ -42,6 +42,8 @@ from .oao import (
     loewdin_trafo,
     pair_compression_maps,
     restore_exchange,
+    rfp_fold,
+    rfp_unfold,
 )
 
 # numerical floor for whitening the training-state overlap matrix
@@ -51,7 +53,8 @@ GEP_CUTOFF = 1.0e-12
 # ---------------------------------------------------------------------------
 # subspace Hamiltonian assembly
 # ---------------------------------------------------------------------------
-def assemble_hamiltonian(h1, h2, one_rdm, two_rdm, two_body_backend="xla"):
+def assemble_hamiltonian(h1, h2, one_rdm, two_rdm, two_body_backend="xla",
+                         packed_layout="tril"):
     """H[a,b] = sum_ij gamma[a,b,i,j] h1[ij] + 1/2 sum Gamma[a,b,ijkl] h2[ijkl]
     for any of the four storage layouts. Returns the full symmetric matrix
     (the reference leaves the upper triangle unset for pair-compressed
@@ -60,7 +63,14 @@ def assemble_hamiltonian(h1, h2, one_rdm, two_rdm, two_body_backend="xla"):
 
     two_body_backend selects the packed-store contraction kernel for the
     fully-compressed (2-d) layout: "xla" einsum or the "pallas" blocked
-    streaming kernel (subspace/pallas_assembly.py)."""
+    streaming kernel (subspace/pallas_assembly.py).
+
+    packed_layout names the slot order of exchange-compressed two_rdm axes:
+    "tril" (the reference's schema, oao.compress_exchange) or "rfp" (the
+    TPU-internal dense fold, oao.rfp_fold — avoids the element-serial
+    gather/scatter the tril packing costs on TPU). ContinuationModel
+    converts its store to "rfp" at construction."""
+    pack = rfp_fold if packed_layout == "rfp" else compress_exchange
     if one_rdm.ndim == 3:
         # pair-compressed one-body store (Npair, n, n) — the sharded layout
         npair = one_rdm.shape[0]
@@ -78,10 +88,10 @@ def assemble_hamiltonian(h1, h2, one_rdm, two_rdm, two_body_backend="xla"):
         Htwo = 0.5 * jnp.einsum("pijkl,ijkl->p", two_rdm, h2)
         H = H + _unpack_pairs(Htwo, ntrain, H.dtype)
     elif ndim == 3:
-        h2c = compress_exchange(h2, diag_multiplier=0.5)
+        h2c = pack(h2, diag_multiplier=0.5)
         H = H + jnp.einsum("abp,p->ab", two_rdm, h2c)
     elif ndim == 2:
-        h2c = compress_exchange(h2, diag_multiplier=0.5)
+        h2c = pack(h2, diag_multiplier=0.5)
         if two_body_backend == "pallas":
             from .subspace.pallas_assembly import assemble_two_body
             Htwo = assemble_two_body(two_rdm, h2c, backend="pallas")
@@ -304,7 +314,8 @@ def _lowest_states_nonhermitian_jvp(nroots, primals, tangents):
 
 
 def approximate_ground_state(h1, h2, one_rdm, two_rdm, S, hermitian=True,
-                             whitening=None, two_body_backend="xla"):
+                             whitening=None, two_body_backend="xla",
+                             packed_layout="tril"):
     """Subspace ground-state energy and eigenvector (electronic part only).
 
     Reference: approximate_ground_state
@@ -312,7 +323,8 @@ def approximate_ground_state(h1, h2, one_rdm, two_rdm, S, hermitian=True,
     whitening (whitening_matrix(S)) to skip the per-call diagonalization of
     the geometry-independent training overlap."""
     H = assemble_hamiltonian(h1, h2, one_rdm, two_rdm,
-                             two_body_backend=two_body_backend)
+                             two_body_backend=two_body_backend,
+                             packed_layout=packed_layout)
     if not hermitian:
         E, V = lowest_states_nonhermitian(H, S, 1)
         return E[0], V[0]
@@ -324,10 +336,12 @@ def approximate_ground_state(h1, h2, one_rdm, two_rdm, S, hermitian=True,
 
 
 def approximate_multistate(h1, h2, one_rdm, two_rdm, S, nroots=1,
-                           hermitian=True, whitening=None):
+                           hermitian=True, whitening=None,
+                           packed_layout="tril"):
     """Lowest nroots subspace states (reference: approximate_multistate,
     ab_initio_eigenvector_continuation.py:93-175)."""
-    H = assemble_hamiltonian(h1, h2, one_rdm, two_rdm)
+    H = assemble_hamiltonian(h1, h2, one_rdm, two_rdm,
+                             packed_layout=packed_layout)
     if not hermitian:
         assert S.shape[0] >= nroots
         return lowest_states_nonhermitian(H, S, nroots)
@@ -465,12 +479,14 @@ def predicted_rdm1(vec, one_rdm):
     return jnp.einsum("a,b,abij->ij", vec, vec, one_rdm)
 
 
-def predicted_rdms(vec, one_rdm, two_rdm, norb):
+def predicted_rdms(vec, one_rdm, two_rdm, norb, packed_layout="tril"):
     """Predicted one- and two-body RDMs from the subspace eigenvector.
 
     Reference: evcont/ab_initio_gradients_loewdin.py:343-361. Handles all
     storage layouts (incl. pair-compressed one_rdm); always returns the
-    restored 4-index 2-RDM."""
+    restored 4-index 2-RDM. packed_layout names the exchange-compressed
+    slot order of two_rdm ("tril" reference schema / "rfp" TPU-internal,
+    see assemble_hamiltonian)."""
     if one_rdm.ndim == 3:
         ntrain = vec.shape[0]
         mat = 2.0 * jnp.outer(vec, vec)
@@ -493,7 +509,8 @@ def predicted_rdms(vec, one_rdm, two_rdm, norb):
         rdm2 = jnp.einsum("a,b,ab...->...", vec, vec, two_rdm)
 
     if rdm2.ndim == 1:
-        rdm2 = restore_exchange(rdm2, norb)
+        rdm2 = rfp_unfold(rdm2, norb) if packed_layout == "rfp" \
+            else restore_exchange(rdm2, norb)
     return rdm1, rdm2
 
 

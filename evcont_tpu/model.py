@@ -38,6 +38,10 @@ from .integrals.engine import IntegralEngine
 from .molecule import Molecule
 
 
+def _npacked(nao):
+    return nao * nao * (nao * nao + 1) // 2
+
+
 class ContinuationModel:
     """Bundles a molecule's integral engine with a t-RDM training set.
 
@@ -47,7 +51,8 @@ class ContinuationModel:
     """
 
     def __init__(self, mol: Molecule, overlap, one_rdm, two_rdm,
-                 hermitian=True, assembly_backend="xla"):
+                 hermitian=True, assembly_backend="xla",
+                 packed_layout="auto"):
         self.mol = mol
         self.engine = IntegralEngine(mol)
         # packed two-body contraction kernel for 2-d stores:
@@ -55,7 +60,36 @@ class ContinuationModel:
         self.assembly_backend = assembly_backend
         self.overlap = jnp.asarray(overlap)
         self.one_rdm = jnp.asarray(one_rdm)
+        # exchange-compressed stores are re-sorted once into the RFP slot
+        # order so the per-eval packing of h2 is a dense fold instead of an
+        # element-serial tril gather (+ scatter in the force VJP) — ~20% of
+        # the flagship batched eval (oao.rfp_fold, tpu_stage_profile.py).
+        # self.two_rdm is then in RFP order; use two_rdm_tril() for the
+        # reference-schema view. "rfp-native" declares the input already in
+        # RFP slot order (no conversion — e.g. a store built on device,
+        # where the extra copy would double HBM).
+        if not hasattr(two_rdm, "ndim"):
+            two_rdm = np.asarray(two_rdm)
+        npacked_ok = two_rdm.ndim in (2, 3) and \
+            two_rdm.shape[-1] == _npacked(self.engine.nao)
+        if packed_layout == "auto":
+            packed_layout = "rfp" if npacked_ok else "tril"
+        if packed_layout in ("rfp", "rfp-native") and not npacked_ok:
+            raise ValueError("packed_layout='rfp' requires an "
+                             "exchange-compressed two_rdm store")
+        if packed_layout == "rfp":
+            from .oao import rfp_permutation
+            perm = rfp_permutation(self.engine.nao)
+            if isinstance(two_rdm, np.ndarray):
+                # host-side re-sort: no transient second device copy
+                two_rdm = np.take(two_rdm, perm, axis=-1)
+            else:
+                two_rdm = jnp.take(jnp.asarray(two_rdm),
+                                   jnp.asarray(perm), axis=-1)
+        elif packed_layout == "rfp-native":
+            packed_layout = "rfp"
         self.two_rdm = jnp.asarray(two_rdm)
+        self.packed_layout = packed_layout
         # convenience for direct users of lowest_states_whitened; the jitted
         # paths below whiten the overlap they are actually *passed* (which
         # may differ from the init-time store, e.g. a pruned subset), so the
@@ -99,7 +133,8 @@ class ContinuationModel:
         h1, h2, enuc = oao_integrals(self.engine, coords)
         en, _ = approximate_ground_state(
             h1, h2, one_rdm, two_rdm, overlap, hermitian=self.hermitian,
-            two_body_backend=self.assembly_backend)
+            two_body_backend=self.assembly_backend,
+            packed_layout=self.packed_layout)
         return en + enuc
 
     @partial(jax.jit, static_argnums=0)
@@ -119,7 +154,8 @@ class ContinuationModel:
         h1, h2, enuc = oao_integrals(self.engine, coords)
         en, vecs = approximate_multistate(h1, h2, one_rdm, two_rdm, overlap,
                                           nroots=nroots,
-                                          hermitian=self.hermitian)
+                                          hermitian=self.hermitian,
+                                          packed_layout=self.packed_layout)
         return en + enuc, vecs
 
     @partial(jax.jit, static_argnums=(0, 2))
@@ -129,7 +165,8 @@ class ContinuationModel:
             h1, h2, enuc = oao_integrals(self.engine, c)
             en, _ = approximate_multistate(h1, h2, one_rdm, two_rdm,
                                            overlap, nroots=nroots,
-                                           hermitian=self.hermitian)
+                                           hermitian=self.hermitian,
+                                           packed_layout=self.packed_layout)
             return en + enuc
         en = energies(coords)
         grads = jax.jacrev(energies)(coords)   # (nroots, natm, 3)
@@ -142,8 +179,10 @@ class ContinuationModel:
         get_energy_with_grad, ab_initio_gradients_loewdin.py:308-373)."""
         h1, h2, enuc = oao_integrals(self.engine, coords)
         en, vec = approximate_ground_state(h1, h2, one_rdm, two_rdm, overlap,
-                                           hermitian=self.hermitian)
-        rdm1, rdm2 = predicted_rdms(vec, one_rdm, two_rdm, self.engine.nao)
+                                           hermitian=self.hermitian,
+                                           packed_layout=self.packed_layout)
+        rdm1, rdm2 = predicted_rdms(vec, one_rdm, two_rdm, self.engine.nao,
+                                    packed_layout=self.packed_layout)
         return en + enuc, vec, rdm1, rdm2
 
     # -- public API ----------------------------------------------------------
@@ -214,6 +253,11 @@ class ContinuationModel:
                         else self.two_rdm, dtype=np.float64)
         if r1.ndim == 4:
             r1, r2 = to_pair_layout(r1, r2)
+        if self.packed_layout == "rfp" and store_f64_two_rdm is not None:
+            # externally provided stores use the reference tril slot order;
+            # re-sort to match the model's internal RFP layout
+            from .oao import rfp_permutation
+            r2 = np.take(r2, rfp_permutation(self.engine.nao), axis=-1)
         self._comp_r1 = tuple(jnp.asarray(a) for a in split_two_float(r1))
         self._comp_r2 = tuple(jnp.asarray(a) for a in split_two_float(r2))
         return self
@@ -221,13 +265,14 @@ class ContinuationModel:
     @partial(jax.jit, static_argnums=0)
     def _energy_compensated(self, coords, r1_hi, r1_lo, r2_hi, r2_lo,
                             overlap):
-        from .oao import compress_exchange
+        from .oao import compress_exchange, rfp_fold
         from .continuation import _unpack_pairs
         from .subspace.compensated import (compensated_pair_assembly,
                                            rayleigh_refined_ground_state)
 
+        pack = rfp_fold if self.packed_layout == "rfp" else compress_exchange
         h1, h2, enuc = oao_integrals(self.engine, coords)
-        h2c = compress_exchange(h2, diag_multiplier=0.5)
+        h2c = pack(h2, diag_multiplier=0.5)
         H_hi, H_lo = compensated_pair_assembly(
             r1_hi, r1_lo, r2_hi, r2_lo, h1, h2c, mode="exact")
         ntrain = overlap.shape[0]
@@ -253,13 +298,14 @@ class ContinuationModel:
     #    assembly (requires jax_enable_x64) --------------------------------
     @partial(jax.jit, static_argnums=0)
     def _ef_precise(self, coords, r1_hi, r1_lo, r2_hi, r2_lo, overlap64):
-        from .oao import compress_exchange
+        from .oao import compress_exchange, rfp_fold
         from .continuation import (_unpack_pairs, ground_state_polished,
                                    pair_compression_maps)
         from .subspace.compensated import (compensated_pair_assembly,
                                            split_two_float_device)
         sg = jax.lax.stop_gradient
         f64 = jnp.float64
+        pack = rfp_fold if self.packed_layout == "rfp" else compress_exchange
 
         def total_energy(c):
             # f64 integral pipeline (XLA-emulated f64 on TPU is genuinely
@@ -267,7 +313,7 @@ class ContinuationModel:
             # Newton-Schulz-refined Loewdin transform repairs)
             h1, h2, enuc = oao_integrals(self.engine, c,
                                          refine_loewdin=True)
-            h2c = compress_exchange(h2, diag_multiplier=0.5)
+            h2c = pack(h2, diag_multiplier=0.5)
 
             # hybrid assembly: the multi-GB t-RDM store stays f32 and is
             # contracted with error-free TwoProd/TwoSum arithmetic (keeping
@@ -333,16 +379,28 @@ class ContinuationModel:
             *self._comp_r2, overlap64)
         return e, -g
 
+    def two_rdm_tril(self):
+        """The two-body store in the reference's tril slot order
+        (electron_integral_utils.py:38-66 schema) regardless of the
+        internal layout — use for file export/interop."""
+        if self.packed_layout != "rfp":
+            return self.two_rdm
+        from .oao import rfp_permutation
+        inv = np.argsort(rfp_permutation(self.engine.nao))
+        return jnp.take(self.two_rdm, jnp.asarray(inv), axis=-1)
+
     # convenience for the MD / active-learning drivers
     def energy_fn(self):
         ov, r1, r2 = self.overlap, self.one_rdm, self.two_rdm
         engine = self.engine
         hermitian = self.hermitian
+        layout = self.packed_layout
 
         def f(coords):
             h1, h2, enuc = oao_integrals(engine, coords)
             en, _ = approximate_ground_state(h1, h2, r1, r2, ov,
-                                             hermitian=hermitian)
+                                             hermitian=hermitian,
+                                             packed_layout=layout)
             return en + enuc
         return f
 
@@ -355,10 +413,12 @@ class ContinuationModel:
         (measured: a 4.4 GiB captured store kills the compile RPC)."""
         engine = self.engine
         hermitian = self.hermitian
+        layout = self.packed_layout
 
         def f(coords, overlap, one_rdm, two_rdm):
             h1, h2, enuc = oao_integrals(engine, coords)
             en, _ = approximate_ground_state(h1, h2, one_rdm, two_rdm,
-                                             overlap, hermitian=hermitian)
+                                             overlap, hermitian=hermitian,
+                                             packed_layout=layout)
             return en + enuc
         return f, (self.overlap, self.one_rdm, self.two_rdm)

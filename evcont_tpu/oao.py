@@ -173,6 +173,127 @@ def restore_exchange(packed, norb):
     return out.reshape(batch + (norb, norb, norb, norb))
 
 
+# ---------------------------------------------------------------------------
+# RFP (rectangular-full-packed) exchange compression — the TPU-internal
+# packed layout.
+#
+# compress_exchange/restore_exchange implement the reference's tril packing
+# (electron_integral_utils.py:38-88), which on TPU lowers to an
+# element-serial gather (fwd) and scatter (VJP): measured ~31 ms/batch of
+# the flagship 162 ms batched energy+forces eval (tpu_stage_profile.py).
+# The RFP layout packs the same N(N+1)/2 unique entries of the symmetric
+# (N, N) matrix (N = norb^2) into a DENSE (N+1, N/2) [N even] or
+# (N, (N+1)/2) [N odd] rectangle using only slices, one transpose, and one
+# select — no gathers, trivially differentiable, exactly sized. The t-RDM
+# store is permuted into the matching slot order once at model
+# construction (rfp_permutation); the contraction store @ packed is
+# order-agnostic.
+# ---------------------------------------------------------------------------
+def _rfp_geometry(N):
+    """(k, rows) of the RFP rectangle for an N x N symmetric matrix."""
+    k = (N + 1) // 2
+    rows = N + 1 if N % 2 == 0 else N
+    return k, rows
+
+
+def rfp_fold(h2, diag_multiplier=1.0):
+    """Pack a 4-index tensor with (ij)<->(kl) exchange symmetry into the
+    dense RFP rectangle, flattened to (..., N(N+1)/2) with N = norb^2.
+
+    Same information content as compress_exchange (each unique unordered
+    pair once, diagonal optionally scaled) in a different, fixed slot
+    order: rfp_fold(x, m) == compress_exchange(x, m)[..., rfp_permutation].
+    Built from slices + transpose + one select, so both the forward and
+    the VJP are dense TPU ops (no serial gather/scatter)."""
+    norb = h2.shape[-1]
+    N = norb * norb
+    batch = h2.shape[:-4]
+    M = h2.reshape(batch + (N, N))
+    if diag_multiplier != 1.0:
+        eye = jnp.eye(N, dtype=h2.dtype)
+        M = M * (1.0 + (diag_multiplier - 1.0) * eye)
+    k, rows = _rfp_geometry(N)
+    nb = len(batch)
+    Left = M[..., :, :k]
+    C = M[..., k:, k:]          # (k, k) for even N, (k-1, k-1) for odd
+    Ct = jnp.swapaxes(C, -1, -2)
+    r = jnp.arange(rows)[:, None]
+    c = jnp.arange(k)[None, :]
+    pad0 = [(0, 0)] * nb
+    if N % 2 == 0:
+        # slots r > c: Left shifted down one row; slots r <= c: C[c, r]
+        Lpad = jnp.pad(Left, pad0 + [(1, 0), (0, 0)])
+        Cpad = jnp.pad(Ct, pad0 + [(0, rows - k), (0, 0)])
+        P = jnp.where(r > c, Lpad, Cpad)
+    else:
+        # slots r >= c: Left; slots r < c: C[c-1, r] (C is (k-1, k-1))
+        Cpad = jnp.pad(Ct, pad0 + [(0, rows - (k - 1)), (1, 0)])
+        P = jnp.where(r >= c, Left, Cpad)
+    return P.reshape(batch + (rows * k,))
+
+
+def rfp_unfold(packed, norb):
+    """Inverse of rfp_fold (diag_multiplier=1): dense reconstruction of the
+    full symmetric (..., norb, norb, norb, norb) tensor (slices +
+    transposes + selects only)."""
+    N = norb * norb
+    k, rows = _rfp_geometry(N)
+    batch = packed.shape[:-1]
+    nb = len(batch)
+    P = packed.reshape(batch + (rows, k))
+    r = jnp.arange(rows)[:, None]
+    c = jnp.arange(k)[None, :]
+    pad0 = [(0, 0)] * nb
+    if N % 2 == 0:
+        Left = jnp.where(r > c, P, 0.0)[..., 1:, :]          # (N, k) tril part
+        Ct = jnp.where(r <= c, P, 0.0)[..., :k, :]           # C[c, r] at (r, c)
+        C = jnp.swapaxes(Ct, -1, -2)                          # lower tri of C
+    else:
+        Left = jnp.where(r >= c, P, 0.0)
+        Ct = jnp.where(r < c, P, 0.0)[..., : k - 1, 1:]
+        C = jnp.swapaxes(Ct, -1, -2)
+    # Left holds the lower trapezoid {(i, j): i >= j, j < k}; C holds the
+    # lower triangle of the bottom-right block. Assemble the lower triangle
+    # of M (each unique entry exactly once, columns < k vs >= k disjoint),
+    # then complete symmetrically (the diagonal appears only in Mlow).
+    Mlow = jnp.pad(Left, pad0 + [(0, 0), (0, N - k)]) \
+        + jnp.pad(C, pad0 + [(N - C.shape[-2], 0), (N - C.shape[-1], 0)])
+    eye = jnp.eye(N, dtype=packed.dtype)
+    M = Mlow + jnp.swapaxes(Mlow, -1, -2) * (1.0 - eye)
+    return M.reshape(batch + (norb, norb, norb, norb))
+
+
+def rfp_permutation(norb):
+    """Index map from reference tril packing to RFP slot order:
+    packed_rfp = packed_tril[..., perm]. Host-side numpy, cached."""
+    if norb in _RFP_PERM_CACHE:
+        return _RFP_PERM_CACHE[norb]
+    N = norb * norb
+    i, j = np.tril_indices(N)
+    lin = (i * (i + 1) // 2 + j)
+    idx = np.zeros((N, N), dtype=np.int64)
+    idx[i, j] = lin
+    idx[j, i] = lin
+    k, rows = _rfp_geometry(N)
+    Left = idx[:, :k]
+    C = idx[k:, k:]
+    r = np.arange(rows)[:, None]
+    c = np.arange(k)[None, :]
+    if N % 2 == 0:
+        Lpad = np.pad(Left, [(1, 0), (0, 0)])
+        Cpad = np.pad(C.T, [(0, rows - k), (0, 0)])
+        P = np.where(r > c, Lpad, Cpad)
+    else:
+        Cpad = np.pad(C.T, [(0, rows - (k - 1)), (1, 0)])
+        P = np.where(r >= c, Left, Cpad)
+    perm = P.reshape(-1)
+    _RFP_PERM_CACHE[norb] = perm
+    return perm
+
+
+_RFP_PERM_CACHE = {}
+
+
 def pair_compression_maps(ntrain):
     """Static index maps for data-pair symmetry: (a, b) -> packed tril index
     over training-state pairs (the reference's 'data symmetry' layouts)."""

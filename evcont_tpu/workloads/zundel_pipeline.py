@@ -213,7 +213,8 @@ def stage4_continuation_md(mol, n_train, seed, steps=10000, dt=25.0,
         # arguments (closure capture would embed 4+ GiB in the program)
         h1, h2, _ = oao_integrals(engine, c)
         _, vec = approximate_ground_state(h1, h2, one_rdm, two_rdm,
-                                          overlap)
+                                          overlap,
+                                          packed_layout=model.packed_layout)
         rdm1 = predicted_rdm1(vec, one_rdm)
         return (dipole_moment(engine, masses, c, rdm1),
                 mulliken_charges(engine, c, rdm1))
@@ -310,7 +311,8 @@ def evaluate_observables(mol, n_train, trajectory, workdir=".",
         def one(c):
             h1, h2, _ = oao_integrals(engine, c)
             _, vec = approximate_ground_state(
-                h1, h2, one_rdm, two_rdm, overlap, whitening=whitening)
+                h1, h2, one_rdm, two_rdm, overlap, whitening=whitening,
+                packed_layout=model.packed_layout)
             rdm1 = predicted_rdm1(vec, one_rdm)
             return (dipole_moment(engine, masses, c, rdm1),
                     mulliken_charges(engine, c, rdm1))

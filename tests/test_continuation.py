@@ -124,6 +124,85 @@ def test_assembly_layout_equivalence():
     np.testing.assert_allclose(H2, H6, atol=1e-11)
 
 
+def test_rfp_layout_equivalence():
+    """The TPU-internal RFP packing (oao.rfp_fold) is an exact relabeling
+    of the reference tril packing: same assembled H, same predicted RDMs,
+    and fold/unfold/permutation are mutually consistent (even and odd
+    norb^2)."""
+    from evcont_tpu.oao import rfp_fold, rfp_unfold, rfp_permutation
+
+    for norb, seed in ((3, 0), (4, 1)):   # norb^2 odd and even
+        h1, h2, g1, g2, S = _toy_problem(norb=norb, seed=seed)
+        ntrain = g1.shape[0]
+        rows, cols = np.tril_indices(ntrain)
+        perm = rfp_permutation(norb)
+
+        # fold == tril packing re-sorted; unfold inverts exactly
+        for m in (1.0, 0.5):
+            np.testing.assert_array_equal(
+                np.array(rfp_fold(jnp.asarray(h2), m)),
+                np.array(compress_exchange(jnp.asarray(h2), m))[perm])
+        np.testing.assert_array_equal(
+            np.array(rfp_unfold(rfp_fold(jnp.asarray(h2)), norb)), h2)
+
+        # assembled H identical across layouts
+        H6 = np.array(assemble_hamiltonian(h1, h2, g1, jnp.asarray(g2)))
+        g2_2d = np.array(compress_exchange(jnp.asarray(g2)))[rows, cols]
+        H_rfp = np.array(assemble_hamiltonian(
+            h1, h2, g1, jnp.asarray(g2_2d[:, perm]), packed_layout="rfp"))
+        np.testing.assert_allclose(H_rfp, H6, atol=1e-11)
+
+        # predicted RDMs identical
+        _, vec = approximate_ground_state(h1, h2, g1, jnp.asarray(g2), S)
+        r1_full, r2_full = predicted_rdms(vec, g1, jnp.asarray(g2), norb)
+        r1_r, r2_r = predicted_rdms(vec, g1, jnp.asarray(g2_2d[:, perm]),
+                                    norb, packed_layout="rfp")
+        np.testing.assert_allclose(np.array(r1_r), np.array(r1_full),
+                                   atol=1e-11)
+        np.testing.assert_allclose(np.array(r2_r), np.array(r2_full),
+                                   atol=1e-11)
+
+
+def test_model_rfp_matches_tril():
+    """ContinuationModel's automatic RFP conversion changes nothing
+    numerically: energies, forces, and predicted RDMs match the tril
+    layout bit-for-bit-free (f64 CPU)."""
+    from evcont_tpu.model import ContinuationModel
+    from evcont_tpu.backends.fci_backend import FCIBackend
+    from evcont_tpu.continuation import to_pair_layout
+
+    def h2mol(d):
+        return Molecule.build([("H", (0, 0, 0)), ("H", (0, 0, d))],
+                              basis="sto-3g", unit="Bohr")
+
+    be = FCIBackend()
+    for d in (1.2, 1.8):
+        be.append_to_rdms(h2mol(d))
+    r1p, r2p = to_pair_layout(be.one_rdm, be.two_rdm)
+    mol = h2mol(1.5)
+    m_rfp = ContinuationModel(mol, be.overlap, r1p, r2p)   # auto -> rfp
+    m_tri = ContinuationModel(mol, be.overlap, r1p, r2p,
+                              packed_layout="tril")
+    assert m_rfp.packed_layout == "rfp"
+    c = np.asarray(mol.coords) + 0.01
+
+    e_r, f_r = m_rfp.potential_and_forces(c)
+    e_t, f_t = m_tri.potential_and_forces(c)
+    np.testing.assert_allclose(float(e_r), float(e_t), atol=1e-12)
+    np.testing.assert_allclose(np.array(f_r), np.array(f_t), atol=1e-12)
+
+    _, _, rdm1_r, rdm2_r = m_rfp.state(c)
+    _, _, rdm1_t, rdm2_t = m_tri.state(c)
+    np.testing.assert_allclose(np.array(rdm1_r), np.array(rdm1_t),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.array(rdm2_r), np.array(rdm2_t),
+                               atol=1e-12)
+
+    # the reference-schema export view round-trips
+    np.testing.assert_array_equal(np.array(m_rfp.two_rdm_tril()),
+                                  np.array(m_tri.two_rdm))
+
+
 def test_gep_vs_scipy():
     from scipy.linalg import eigh
     h1, h2, g1, g2, S = _toy_problem(seed=3)
