@@ -194,13 +194,19 @@ def worker_tpu32():
     try:
         from evcont_tpu.md.integrators import run_nve
         masses = mol.masses_au().astype(np.float32)
-        efn = model.energy_fn()
+        # thread the 4.4 GiB store as traced arguments — closing over it
+        # (energy_fn) embeds it as compile-time constants, which kills the
+        # remote-compile RPC at this scale (measured: broken pipe)
+        efn_s, store = model.energy_fn_with_store()
         n_md = 100
-        run_md = jax.jit(lambda cc: run_nve(efn, masses, cc, None,
-                                            np.float32(5.0), n_md))
-        np.array(run_md(c)["epot"])           # compile + first run
+
+        def _run(cc, ov, r1, r2):
+            return run_nve(lambda x: efn_s(x, ov, r1, r2), masses, cc,
+                           None, np.float32(5.0), n_md)
+        run_md = jax.jit(_run)
+        np.array(run_md(c, *store)["epot"])   # compile + first run
         t0 = time.time()
-        np.array(run_md(c * np.float32(1.0 + 1e-6))["epot"])
+        np.array(run_md(c * np.float32(1.0 + 1e-6), *store)["epot"])
         md_steps_per_sec = n_md / (time.time() - t0)
         print(f"[bench] MD: {md_steps_per_sec:.1f} steps/s "
               f"({n_md}-step on-device NVE scan, dt=5)", file=sys.stderr)
