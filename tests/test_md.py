@@ -56,6 +56,31 @@ def test_nve_artifact_files(h2_model, tmp_path):
     assert len(lines) == 5 * 4
 
 
+def test_energy_fn_with_store_matches_and_scans(h2_model):
+    """The parametric energy fn (bench.py MD rung) must match the closure
+    form and survive jit with the store as traced arguments — closing over
+    a multi-GB store embeds it as compile-time constants, which broke the
+    remote-compile RPC at the Zundel-84 scale (see model.py docstring)."""
+    from evcont_tpu.md.integrators import run_nve
+
+    c = np.asarray(h2(1.5).coords, dtype=h2_model.one_rdm.dtype)
+    efn_s, store = h2_model.energy_fn_with_store()
+    e_param = float(jax.jit(efn_s)(c, *store))
+    e_closure = float(h2_model.energy_fn()(c))
+    assert abs(e_param - e_closure) < 1e-10
+
+    masses = h2_model.mol.masses_au().astype(c.dtype)
+
+    def _run(cc, ov, r1, r2):
+        return run_nve(lambda x: efn_s(x, ov, r1, r2), masses, cc,
+                       None, c.dtype.type(5.0), 10)
+
+    out = jax.jit(_run)(c, *store)
+    epot = np.array(out["epot"])
+    assert epot.shape == (10,)
+    assert np.all(np.isfinite(epot))
+
+
 def test_maxwell_boltzmann_temperature():
     masses = Molecule.build(
         [("O", (0, 0, 0))] * 8, basis="sto-3g").masses_au()
