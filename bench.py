@@ -45,6 +45,7 @@ axon TPU is exclusive per process. Prints ONE JSON line:
 {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import hashlib
 import json
 import os
 import subprocess
@@ -57,6 +58,52 @@ NTRAIN = 84
 BATCH_CANDIDATES = (64, 32, 16, 8)
 REPS = 5
 SEED = 0
+
+# The CPU-f64 reference and the emulated-f64 precise rung are fully
+# deterministic given (store bits, pipeline source): their values are
+# cached on disk and reused across driver rounds so the required wall
+# time of a bench run is ~the tpu32 worker alone (round 2 lesson: the
+# 3-worker serial run blew the driver budget, rc=124, and the round's
+# headline metric was lost). BENCH_BUDGET_S caps how much wall time the
+# optional rungs may spend recomputing on a cache miss.
+CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_cache.json")
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+
+
+def _pipeline_fingerprint():
+    """md5 over the source files whose changes could alter the cached
+    CPU-f64 / precise-rung values (numerics, not perf)."""
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "evcont_tpu")
+    files = ["model.py", "continuation.py", "oao.py", "molecule.py",
+             "basis_data.py",
+             os.path.join("subspace", "compensated.py")]
+    files += sorted(
+        os.path.join("integrals", f)
+        for f in os.listdir(os.path.join(root, "integrals"))
+        if f.endswith(".py"))
+    h = hashlib.md5()
+    h.update(f"NTRAIN={NTRAIN};SEED={SEED}".encode())
+    for rel in files:
+        with open(os.path.join(root, rel), "rb") as fh:
+            h.update(hashlib.md5(fh.read()).digest())
+    return h.hexdigest()
+
+
+def _cache_load():
+    try:
+        with open(CACHE_PATH) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _cache_store(cache):
+    tmp = CACHE_PATH + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(cache, fh, indent=1)
+    os.replace(tmp, CACHE_PATH)
 
 
 def store_shapes(nao):
@@ -254,12 +301,16 @@ def worker_cpu():
     e, f = model.potential_and_forces(c)   # compile + warm
     e = float(e)
     f = np.asarray(f)
-    t0 = time.time()
-    e2, f2 = model.potential_and_forces(c * (1.0 + 1e-9))
-    float(e2), np.asarray(f2)
-    dt = time.time() - t0
-    print(json.dumps({"cpu_eval_seconds": dt, "energy": e,
-                      "forces": f.ravel().tolist(),
+    times = []
+    for rep in range(3):
+        t0 = time.time()
+        e2, f2 = model.potential_and_forces(c * (1.0 + 1e-9 * (rep + 1)))
+        float(e2), np.asarray(f2)
+        times.append(time.time() - t0)
+    print(f"[bench] cpu rep times={[round(t, 2) for t in times]} s",
+          file=sys.stderr)
+    print(json.dumps({"cpu_eval_seconds": float(np.median(times)),
+                      "energy": e, "forces": f.ravel().tolist(),
                       "store_md5": store_hash(model.overlap)}))
 
 
@@ -277,12 +328,60 @@ def _run_worker(name, timeout=7200):
 def main():
     t_start = time.time()
     r32 = _run_worker("tpu32")
-    try:
-        r64 = _run_worker("tpu64")
-    except Exception as err:   # precision rung must not sink the benchmark
-        print(f"[bench] precise rung failed: {err}", file=sys.stderr)
-        r64 = None
-    ref = _run_worker("cpu")
+
+    # Deterministic rungs: serve from the committed cache when the store
+    # bits and the numerics-relevant sources are unchanged; recompute
+    # (and refresh the cache) only when the remaining budget allows.
+    fp = _pipeline_fingerprint()
+    cache = _cache_load()
+    valid = (cache.get("fingerprint") == fp
+             and cache.get("store_md5") == r32["store_md5"])
+
+    def _remaining():
+        return BUDGET_S - (time.time() - t_start)
+
+    ref = cache.get("cpu") if valid else None
+    if ref is not None:
+        print(f"[bench] CPU-f64 baseline served from cache "
+              f"(computed {cache.get('cpu_date', '?')}, "
+              f"{cache.get('cpu_wall_s', 0):.0f} s to recompute)",
+              file=sys.stderr)
+    else:
+        est = cache.get("cpu_wall_s", 1800.0)
+        if _remaining() < 1.3 * est:
+            raise RuntimeError(
+                f"no cached CPU baseline and only {_remaining():.0f} s of "
+                f"budget left (needs ~{est:.0f} s) — run `python bench.py` "
+                "once untimed to populate bench_cache.json")
+        t0 = time.time()
+        ref = _run_worker("cpu")
+        cache = {"fingerprint": fp, "store_md5": ref["store_md5"],
+                 "cpu": ref, "cpu_wall_s": time.time() - t0,
+                 "cpu_date": time.strftime("%Y-%m-%d")}
+        _cache_store(cache)
+
+    r64 = cache.get("tpu64") if valid else None
+    if r64 is not None:
+        print("[bench] precise rung served from cache "
+              f"(computed {cache.get('tpu64_date', '?')})", file=sys.stderr)
+    else:
+        est = cache.get("tpu64_wall_s", 1200.0)
+        if _remaining() < 1.3 * est:
+            print(f"[bench] skipping precise rung: {_remaining():.0f} s "
+                  f"budget left < 1.3x estimated {est:.0f} s "
+                  "(cached values absent; run untimed to populate)",
+                  file=sys.stderr)
+        else:
+            try:
+                t0 = time.time()
+                r64 = _run_worker("tpu64")
+                cache.update(tpu64=r64, tpu64_wall_s=time.time() - t0,
+                             tpu64_date=time.strftime("%Y-%m-%d"),
+                             fingerprint=fp, store_md5=r64["store_md5"])
+                _cache_store(cache)
+            except Exception as err:   # must not sink the benchmark
+                print(f"[bench] precise rung failed: {err}", file=sys.stderr)
+                r64 = None
 
     hashes = {r.get("store_md5") for r in (r32, r64, ref)
               if r is not None}

@@ -54,7 +54,7 @@ GEP_CUTOFF = 1.0e-12
 # subspace Hamiltonian assembly
 # ---------------------------------------------------------------------------
 def assemble_hamiltonian(h1, h2, one_rdm, two_rdm, two_body_backend="xla",
-                         packed_layout="tril"):
+                         packed_layout="tril", ntrain=None):
     """H[a,b] = sum_ij gamma[a,b,i,j] h1[ij] + 1/2 sum Gamma[a,b,ijkl] h2[ijkl]
     for any of the four storage layouts. Returns the full symmetric matrix
     (the reference leaves the upper triangle unset for pair-compressed
@@ -72,9 +72,18 @@ def assemble_hamiltonian(h1, h2, one_rdm, two_rdm, two_body_backend="xla",
     converts its store to "rfp" at construction."""
     pack = rfp_fold if packed_layout == "rfp" else compress_exchange
     if one_rdm.ndim == 3:
-        # pair-compressed one-body store (Npair, n, n) — the sharded layout
+        # pair-compressed one-body store (Npair, n, n) — the sharded layout.
+        # The store may carry zero-padded tail rows (parallel.mesh pads the
+        # pair axis to a mesh multiple for even sharding); `ntrain` then
+        # cannot be derived from the row count, so callers that know S pass
+        # it explicitly.
         npair = one_rdm.shape[0]
-        ntrain = int((np.sqrt(8 * npair + 1) - 1) / 2)
+        if ntrain is None:
+            ntrain = int((np.sqrt(8 * npair + 1) - 1) / 2)
+            if ntrain * (ntrain + 1) // 2 != npair:
+                raise ValueError(
+                    f"pair axis {npair} is not a triangular number — for "
+                    "padded (sharded) stores pass ntrain explicitly")
         Hone = jnp.einsum("pij,ij->p", one_rdm, h1)
         H = _unpack_pairs(Hone, ntrain, Hone.dtype)
     else:
@@ -105,11 +114,34 @@ def assemble_hamiltonian(h1, h2, one_rdm, two_rdm, two_body_backend="xla",
 
 def _unpack_pairs(packed, ntrain, dtype):
     """Scatter a packed lower-triangular pair vector into a full symmetric
-    (ntrain, ntrain) matrix."""
+    (ntrain, ntrain) matrix. Accepts a zero-padded tail (sharded stores pad
+    the pair axis to a mesh multiple): pad slots scatter-add into a scratch
+    row that is sliced away, so no gather of the tail is needed and the
+    scatter stays a single static-shape op."""
     rows, cols = pair_compression_maps(ntrain)
-    M = jnp.zeros((ntrain, ntrain), dtype=dtype)
-    M = M.at[rows, cols].set(packed)
+    npair = rows.shape[0]
+    pad = packed.shape[0] - npair
+    if pad == 0:
+        M = jnp.zeros((ntrain, ntrain), dtype=dtype)
+        M = M.at[rows, cols].set(packed)
+    else:
+        rows_p = jnp.concatenate(
+            [jnp.asarray(rows), jnp.full((pad,), ntrain, dtype=rows.dtype)])
+        cols_p = jnp.concatenate(
+            [jnp.asarray(cols), jnp.full((pad,), ntrain, dtype=cols.dtype)])
+        M = jnp.zeros((ntrain + 1, ntrain + 1), dtype=dtype)
+        M = M.at[rows_p, cols_p].add(packed)[:ntrain, :ntrain]
     return M + M.T - jnp.diag(jnp.diag(M))
+
+
+def pad_pair_weights(weights, npair_store):
+    """Zero-pad per-pair weights (length ntrain(ntrain+1)/2) to a padded
+    store's pair-axis length before contracting against it."""
+    pad = npair_store - weights.shape[0]
+    if pad < 0:
+        raise ValueError(f"store pair axis {npair_store} shorter than "
+                         f"weight vector {weights.shape[0]}")
+    return weights if pad == 0 else jnp.pad(weights, (0, pad))
 
 
 # ---------------------------------------------------------------------------
@@ -310,7 +342,26 @@ def _lowest_states_nonhermitian_jvp(nroots, primals, tangents):
     E, V = lowest_states_nonhermitian(H, S, nroots)
     dE = jnp.einsum("ka,ab,kb->k", V, dH, V) \
         - E * jnp.einsum("ka,ab,kb->k", V, dS, V)
-    return (E, V), (dE, jnp.zeros_like(V))
+    # Eigenvector tangents on the non-hermitian path are NOT implemented
+    # (they would need the left eigenvectors, and complex pairs make the
+    # real first-order expansion ill-defined). Returning zeros here would
+    # make derivatives of predicted-RDM observables silently WRONG, so the
+    # tangent is NaN instead: energy/force differentiation (which consumes
+    # only dE) is unaffected, while any computation that actually uses the
+    # vector tangent surfaces as NaN rather than a plausible wrong number.
+    # The reference's hermitian=False branch likewise provides only the
+    # Hellmann-Feynman energy derivative
+    # (ab_initio_eigenvector_continuation.py:78-88,
+    #  ab_initio_gradients_loewdin.py:341-361).
+    #
+    # The NaN must enter as a *linear* function of the input tangent (NaN
+    # coefficient), not a constant: reverse-mode transposition drops
+    # tangent-independent constants (silently-zero again), while a linear
+    # term propagates NaN into the cotangent exactly when the vector
+    # cotangent is nonzero — energy-only grads see a symbolic-zero vector
+    # cotangent and stay clean.
+    dV = (jnp.sum(dH) + jnp.sum(dS)) * jnp.full_like(V, jnp.nan)
+    return (E, V), (dE, dV)
 
 
 def approximate_ground_state(h1, h2, one_rdm, two_rdm, S, hermitian=True,
@@ -324,7 +375,8 @@ def approximate_ground_state(h1, h2, one_rdm, two_rdm, S, hermitian=True,
     the geometry-independent training overlap."""
     H = assemble_hamiltonian(h1, h2, one_rdm, two_rdm,
                              two_body_backend=two_body_backend,
-                             packed_layout=packed_layout)
+                             packed_layout=packed_layout,
+                             ntrain=S.shape[0])
     if not hermitian:
         E, V = lowest_states_nonhermitian(H, S, 1)
         return E[0], V[0]
@@ -341,7 +393,8 @@ def approximate_multistate(h1, h2, one_rdm, two_rdm, S, nroots=1,
     """Lowest nroots subspace states (reference: approximate_multistate,
     ab_initio_eigenvector_continuation.py:93-175)."""
     H = assemble_hamiltonian(h1, h2, one_rdm, two_rdm,
-                             packed_layout=packed_layout)
+                             packed_layout=packed_layout,
+                             ntrain=S.shape[0])
     if not hermitian:
         assert S.shape[0] >= nroots
         return lowest_states_nonhermitian(H, S, nroots)
@@ -475,7 +528,8 @@ def predicted_rdm1(vec, one_rdm):
         mat = 2.0 * jnp.outer(vec, vec)
         mat = mat - 0.5 * jnp.diag(jnp.diag(mat))
         rows, cols = pair_compression_maps(ntrain)
-        return jnp.tensordot(mat[rows, cols], one_rdm, axes=1)
+        w = pad_pair_weights(mat[rows, cols], one_rdm.shape[0])
+        return jnp.tensordot(w, one_rdm, axes=1)
     return jnp.einsum("a,b,abij->ij", vec, vec, one_rdm)
 
 
@@ -492,7 +546,8 @@ def predicted_rdms(vec, one_rdm, two_rdm, norb, packed_layout="tril"):
         mat = 2.0 * jnp.outer(vec, vec)
         mat = mat - 0.5 * jnp.diag(jnp.diag(mat))
         rows, cols = pair_compression_maps(ntrain)
-        rdm1 = jnp.tensordot(mat[rows, cols], one_rdm, axes=1)
+        w = pad_pair_weights(mat[rows, cols], one_rdm.shape[0])
+        rdm1 = jnp.tensordot(w, one_rdm, axes=1)
     else:
         rdm1 = jnp.einsum("a,b,abij->ij", vec, vec, one_rdm)
 
@@ -503,7 +558,7 @@ def predicted_rdms(vec, one_rdm, two_rdm, norb, packed_layout="tril"):
         mat = 2.0 * jnp.outer(vec, vec)
         mat = mat - 0.5 * jnp.diag(jnp.diag(mat))
         rows, cols = pair_compression_maps(ntrain)
-        weights = mat[rows, cols]
+        weights = pad_pair_weights(mat[rows, cols], two_rdm.shape[0])
         rdm2 = jnp.tensordot(weights, two_rdm, axes=1)
     else:
         rdm2 = jnp.einsum("a,b,ab...->...", vec, vec, two_rdm)

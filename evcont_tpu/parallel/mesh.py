@@ -56,11 +56,68 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
+def pad_pair_axis(arr, n_shards):
+    """Zero-pad a pair-major array's leading axis to a multiple of the
+    pair-shard count. Production pair counts are rarely divisible by the
+    mesh (Zundel-84: 3570 = 2*3*5*7*17 pairs — indivisible by 4 or 8);
+    padding with zero rows is exact for every contraction in the pipeline
+    (assembly sums over pairs; continuation._unpack_pairs scatter-adds the
+    zero tail into a discarded scratch slot)."""
+    npair = arr.shape[0]
+    pad = (-npair) % n_shards
+    if pad == 0:
+        return arr
+    if isinstance(arr, np.ndarray):
+        return np.concatenate(
+            [arr, np.zeros((pad,) + arr.shape[1:], dtype=arr.dtype)])
+    import jax.numpy as jnp
+    return jnp.concatenate(
+        [arr, jnp.zeros((pad,) + arr.shape[1:], dtype=arr.dtype)])
+
+
 def shard_trdm_store(mesh, overlap, one_rdm_pair, two_rdm_pair):
-    """Place the compressed t-RDM store on the mesh: pair axis sharded,
-    overlap replicated."""
+    """Place the compressed t-RDM store on the mesh: pair axis sharded
+    (zero-padded to the mesh's pair-shard count when uneven), overlap
+    replicated. Callers must treat the returned pair arrays as possibly
+    padded — every consumer in continuation.py already does (it takes
+    ntrain from the overlap, never from the pair-axis length)."""
+    n_pair = mesh.shape["pair"]
     return (
         jax.device_put(overlap, replicated(mesh)),
-        jax.device_put(one_rdm_pair, pair_sharding(mesh)),
-        jax.device_put(two_rdm_pair, pair_sharding(mesh)),
+        jax.device_put(pad_pair_axis(one_rdm_pair, n_pair),
+                       pair_sharding(mesh)),
+        jax.device_put(pad_pair_axis(two_rdm_pair, n_pair),
+                       pair_sharding(mesh)),
     )
+
+
+def assert_pair_sharded(arr, mesh):
+    """Fail loudly if a pair-major store array is NOT actually sharded over
+    the mesh's pair axis — GSPMD silently replicating a multi-GB store
+    per device is the failure mode this guards (each replica costs the
+    full store in HBM).
+
+    Checks, per device: exactly one addressable shard whose pair-axis
+    extent (and byte size) is the per-shard fraction."""
+    n_pair = mesh.shape["pair"]
+    n_dev = mesh.devices.size
+    shards = arr.addressable_shards
+    if len(shards) != n_dev:
+        raise AssertionError(
+            f"expected {n_dev} addressable shards, got {len(shards)}")
+    if arr.shape[0] % n_pair != 0:
+        raise AssertionError(
+            f"pair axis {arr.shape[0]} not divisible by {n_pair} shards — "
+            "pass the store through shard_trdm_store (pads the axis)")
+    want_rows = arr.shape[0] // n_pair
+    want_bytes = want_rows * int(np.prod(arr.shape[1:])) * arr.dtype.itemsize
+    for sh in shards:
+        got = sh.data.shape[0]
+        if got != want_rows:
+            raise AssertionError(
+                f"shard on {sh.device} holds {got} pair rows, expected "
+                f"{want_rows} — store is replicated or mis-sharded")
+        if sh.data.nbytes != want_bytes:
+            raise AssertionError(
+                f"shard on {sh.device} holds {sh.data.nbytes} bytes, "
+                f"expected {want_bytes}")

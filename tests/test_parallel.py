@@ -2,6 +2,7 @@
 xla_force_host_platform_device_count=8)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -43,6 +44,64 @@ def test_sharded_store_matches_replicated():
     np.testing.assert_allclose(np.array(e), e_ref, atol=1e-10)
     # _energy_and_grad_batch returns gradients; forces are their negative
     np.testing.assert_allclose(-np.array(g), g_ref, atol=1e-9)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_uneven_pair_sharding_production_shape():
+    """Zundel-84-shaped pair axis (3570 pairs = 2*3*5*7*17 — indivisible by
+    a 4-way pair axis) at a scaled-down norb: shard_trdm_store must pad the
+    axis, the padded computation must match the unsharded one, and the
+    placement assertion must prove the store is sharded, not replicated."""
+    from evcont_tpu.parallel.mesh import assert_pair_sharded
+
+    ntrain = 84
+    npair = ntrain * (ntrain + 1) // 2          # 3570
+    mol = Molecule.build([("H", (0, 0, 0)), ("H", (0, 0, 1.4))],
+                         basis="sto-3g")        # nao = 2
+    nao = 2
+    npacked = nao * nao * (nao * nao + 1) // 2  # 10
+    rng = np.random.default_rng(3)
+    ov = np.eye(ntrain) + 0.01 * rng.standard_normal((ntrain, ntrain))
+    ov = 0.5 * (ov + ov.T)
+    r1 = 0.01 * rng.standard_normal((npair, nao, nao))
+    r2 = 0.001 * rng.standard_normal((npair, npacked))
+    model = ContinuationModel(mol, ov, r1, r2)
+
+    batch = np.stack([np.asarray(mol.coords) * s for s in (1.0, 1.05)])
+    e_ref, g_ref = model.potential_and_forces_batch(batch)
+
+    mesh = make_mesh(8, data_axis=2)            # pair axis = 4; 3570 % 4 = 2
+    ov_s, r1_s, r2_s = shard_trdm_store(mesh, model.overlap, model.one_rdm,
+                                        model.two_rdm)
+    assert r1_s.shape[0] == npair + 2 and r2_s.shape[0] == npair + 2
+    assert_pair_sharded(r1_s, mesh)
+    assert_pair_sharded(r2_s, mesh)
+    # a replicated placement must be rejected
+    from evcont_tpu.parallel.mesh import replicated
+    r1_rep = jax.device_put(np.asarray(r1_s), replicated(mesh))
+    with pytest.raises(AssertionError):
+        assert_pair_sharded(r1_rep, mesh)
+
+    batch_s = jax.device_put(batch, NamedSharding(mesh, P("data")))
+    with mesh:
+        e, g = model._energy_and_grad_batch(batch_s, ov_s, r1_s, r2_s)
+    np.testing.assert_allclose(np.array(e), np.array(e_ref), atol=1e-10)
+    np.testing.assert_allclose(np.array(g), -np.array(g_ref), atol=1e-9)
+
+    # predicted RDMs against a padded store must match the unpadded path
+    from evcont_tpu.continuation import predicted_rdms
+    vec = np.zeros(ntrain)
+    vec[:3] = [0.9, 0.3, -0.2]
+    rdm1_ref, rdm2_ref = predicted_rdms(
+        jnp.asarray(vec), model.one_rdm, model.two_rdm, nao,
+        packed_layout=model.packed_layout)
+    rdm1_s, rdm2_s = predicted_rdms(
+        jnp.asarray(vec), r1_s, r2_s, nao,
+        packed_layout=model.packed_layout)
+    np.testing.assert_allclose(np.array(rdm1_s), np.array(rdm1_ref),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.array(rdm2_s), np.array(rdm2_ref),
+                               atol=1e-12)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
