@@ -177,7 +177,7 @@ def exact_matvec(A_hi, A_lo, x_hi, x_lo, kblock=8192):
 
 
 def compensated_pair_assembly(r1_hi, r1_lo, r2_hi, r2_lo, h1, h2c,
-                              chunk=128, mode="compensated"):
+                              chunk=128, mode="compensated", kblock=8192):
     """H[pair] for the pair-compressed store with compensated arithmetic.
 
     r1: (Npair, n, n) as (hi, lo); r2: (Npair, Npacked) as (hi, lo);
@@ -187,8 +187,8 @@ def compensated_pair_assembly(r1_hi, r1_lo, r2_hi, r2_lo, h1, h2c,
     two-float combine) | "exact" (TwoProd + exact summation, VPU-bound,
     f64-class)."""
     mv = compensated_matvec if mode == "compensated" else \
-        (lambda *a, **k: exact_matvec(*a))
-    kw = {"chunk": chunk} if mode == "compensated" else {}
+        (lambda *a, **k: exact_matvec(*a, **k))
+    kw = {"chunk": chunk} if mode == "compensated" else {"kblock": kblock}
     npair = r1_hi.shape[0]
 
     def as_pair(x):

@@ -13,10 +13,12 @@ Forces:
     of the full KS energy at fixed OAO density (solvers/dft_force.py —
     includes Pulay and quadrature-grid response; the reference leans on
     pyscf's hand-coded RKS gradients here, Zundel_DFT_PBE.py).
-  * method="ccsd": central-difference forces on the host solver
-    (6*natm energy calls per step; CCSD is non-variational so the
-    fixed-density trick does not apply — the reference uses pyscf's
-    lambda-equation gradients, run as multi-day cluster jobs).
+  * method="ccsd": ANALYTIC forces from the autodiff CCSD Lagrangian
+    (solvers/ccsd_grad.py — amplitude adjoint + z-vector orbital
+    response, one reverse pass through the differentiable integral
+    engine; matches the reference's pyscf lambda-equation gradients,
+    md_H2O-H3O+_CCSD.py:60-75, at ~1/(6*natm) of the round-2
+    central-difference cost per MD step).
 """
 
 import argparse
@@ -63,6 +65,11 @@ def energy_and_force(method, engine, mol, coords, eps=2e-3):
         e, F, _ = rks_energy_and_force(engine, np.asarray(coords),
                                        xc=method, n_rad=40, angular=26)
         return e, F
+    if method == "ccsd":
+        from ..solvers.ccsd_grad import ccsd_energy_and_gradient
+        e, g, _ = ccsd_energy_and_gradient(engine, np.asarray(coords),
+                                           nelec=sum(mol.nelec))
+        return e, -g
     f = _energy_fn(method, engine, mol)
     e0 = f(coords)
     force = np.zeros_like(np.asarray(coords))
