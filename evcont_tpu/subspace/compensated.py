@@ -94,6 +94,19 @@ def _twofloat_tree_sum(parts_hi, parts_lo):
     return parts_hi[..., 0], parts_lo[..., 0]
 
 
+def _divisor_chunk(K, chunk):
+    """The smallest divisor of K in [chunk, 4*chunk], or None. Used to
+    avoid padding the contraction axis inside jit: for a multi-GB store
+    operand an in-jit pad materializes a full HLO-temp copy (the round-3
+    Zundel-84 batched-precise OOM — pad of f32[3570,307720] cost 2x4.1 GB
+    of HBM temps), whereas a slightly larger exact-divisor chunk only
+    nudges the sqrt(chunk)*eps accumulation error."""
+    for c in range(chunk, 4 * chunk + 1):
+        if K % c == 0:
+            return c
+    return None
+
+
 def compensated_matvec(A_hi, A_lo, x_hi, x_lo, chunk=128):
     """y = A @ x with double-f32 operands and chunked two-float
     accumulation.
@@ -103,13 +116,18 @@ def compensated_matvec(A_hi, A_lo, x_hi, x_lo, chunk=128):
     only ever spans `chunk` terms, and the per-chunk partial sums are
     combined with an exact two-float pairwise tree. chunk=128 (the MXU
     contraction depth) gives ~5e-9 relative on 1e5-term reductions
-    (tests/test_compensated.py)."""
+    (tests/test_compensated.py). When chunk does not divide K, a nearby
+    exact divisor is preferred over padding (no in-jit copy of A)."""
     M, K = A_hi.shape
+    if K % chunk:
+        chunk = _divisor_chunk(K, chunk) or chunk
     nchunk = -(-K // chunk)
     Kp = nchunk * chunk
     pad = Kp - K
 
     def padk(a):
+        if pad == 0:
+            return a
         return jnp.pad(a, ((0, pad),)) if a.ndim == 1 else \
             jnp.pad(a, ((0, 0), (0, pad)))
 

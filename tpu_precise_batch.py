@@ -39,7 +39,7 @@ def main():
     print(f"[study] platform={jax.devices()[0].platform} nao={nao}",
           flush=True)
 
-    for mode in ("compensated", "exact"):
+    for mode in ("exact", "compensated"):
         for B in sizes:
             batch = batch_all[:B].astype(np.float64)
             try:
