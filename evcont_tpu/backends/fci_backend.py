@@ -25,11 +25,11 @@ from .base import EVContBackend
 
 class FCIBackend(EVContBackend):
     def __init__(self, cibasis="OAO", nroots=1, roots_train=None,
-                 spin="singlet", compress=False):
+                 spin="singlet", compress=False, conv_resid=1e-7):
         """
         Args:
-            cibasis: orbital basis for the CI solve ('OAO' only; see module
-                docstring).
+            cibasis: orbital basis for the CI solve ('OAO', 'canonical' or
+                'split'; see module docstring).
             nroots / roots_train: which FCI roots enter the training set
                 (reference: FCI_EVCont.py:26-48 — e.g. roots_train=[0,1]
                 trains on ground + first excited state at each geometry).
@@ -37,10 +37,14 @@ class FCIBackend(EVContBackend):
                 sector like pyscf's direct_spin0; None allows all states.
             compress: maintain the store in the fully compressed pair +
                 exchange layouts (see EVContBackend).
+            conv_resid: Davidson residual-norm convergence per root
+                (pyscf's conv_tol analog). Eigenvector error — and hence
+                t-RDM error — is first order in it.
         """
         super().__init__(compress=compress)
         assert cibasis in ("OAO", "canonical", "split"), cibasis
         self.cibasis = cibasis
+        self.conv_resid = conv_resid
         self.nroots = nroots
         if roots_train is None:
             self.roots_train = list(range(nroots))
@@ -78,10 +82,11 @@ class FCIBackend(EVContBackend):
 
         nroots_train = max(self.roots_train) + 1
         if nroots_train == 1:
-            e, vec = solver.kernel(h1, h2)
+            e, vec = solver.kernel(h1, h2, conv_resid=self.conv_resid)
             e_all, vec_all = [e], [vec]
         else:
-            e_all, vec_all = solver.kernel(h1, h2, nroots=nroots_train)
+            e_all, vec_all = solver.kernel(h1, h2, nroots=nroots_train,
+                                           conv_resid=self.conv_resid)
 
         if self.cibasis != "OAO":
             # rotate training states to the shared OAO basis

@@ -266,12 +266,123 @@ class FCISolver:
         cross = oa @ J @ ob.T
         return da[:, None] + db[None, :] + cross
 
+    # -- pspace initial guesses ----------------------------------------------
+    def _pspace_block(self, k1, eri2, Asel, Bsel):
+        """Dense Hamiltonian block over the product grid Asel x Bsel of
+        alpha/beta strings, from the precomputed excitation matrices.
+
+        With E_pq = Ea_pq (x) I + I (x) Eb_pq and eri2 symmetric,
+          H = sum_x k1_x E_x + 1/2 sum_xy eri2_xy E_x E_y
+        restricted to the grid splits into alpha-alpha, beta-beta and one
+        mixed term (the two cross terms coincide under x<->y symmetry)."""
+        sps = self.space
+        ma, mb = len(Asel), len(Bsel)
+        n2 = len(sps.Ea)
+
+        def blocks(E, sel, m):
+            rows = np.empty((n2, m, E[0].shape[0]))
+            cols = np.empty((n2, E[0].shape[0], m))
+            sub = np.empty((n2, m, m))
+            for x in range(n2):
+                d = E[x].toarray()
+                rows[x] = d[sel, :]
+                cols[x] = d[:, sel]
+                sub[x] = d[np.ix_(sel, sel)]
+            return rows, cols, sub
+
+        rowsA, colsA, EaA = blocks(sps.Ea, Asel, ma)
+        if Bsel is Asel and sps.Eb is sps.Ea:
+            rowsB, colsB, EbB = rowsA, colsA, EaA
+        else:
+            rowsB, colsB, EbB = blocks(sps.Eb, Bsel, mb)
+
+        def same_spin(rows, cols, sub, m):
+            # K + 1/2 sum_xy eri2_xy (E_x E_y)|_sel
+            K = np.tensordot(k1.ravel(), sub, axes=1)
+            W = np.einsum("xy,ynm->xnm", eri2, cols, optimize=True)
+            EE = np.einsum("xmn,xnk->mk", rows, W, optimize=True)
+            return K + 0.5 * EE
+
+        HA = same_spin(rowsA, colsA, EaA, ma)
+        HB = HA if (Bsel is Asel and sps.Eb is sps.Ea) else \
+            same_spin(rowsB, colsB, EbB, mb)
+        M = np.einsum("xab,xy,ycd->abcd", EaA, eri2, EbB, optimize=True)
+
+        Hp = (np.einsum("ac,bd->abcd", HA, np.eye(mb))
+              + np.einsum("ac,bd->abcd", np.eye(ma), HB) + M)
+        return Hp.reshape(ma * mb, ma * mb)
+
+    def _pspace_guesses(self, h1, eri, hdiag, nroots, project,
+                        max_strings=40, max_dets=1600):
+        """Davidson initial guesses from a dense diagonalization of the
+        Hamiltonian over a low-diagonal determinant product grid — the
+        robustness device pyscf's kernels get from fci.pspace (reference:
+        FCI_EVCont.py:70 relies on it for excited roots). Unit-vector
+        guesses can MISS a root when near-degenerate excited states split
+        across the Davidson's explored subspace (observed: H4 OAO basis,
+        nroots=2 converged to the 2nd excited state instead of the 1st);
+        pspace eigenvectors start the iteration on the right states."""
+        Na, Nb = self.dim
+        order = np.argsort(hdiag.ravel())
+        ia, ib = np.unravel_index(order, (Na, Nb))
+        if self.spin == "singlet":
+            # symmetric grid (Asel == Bsel) so the singlet projection of a
+            # grid eigenvector stays on the grid
+            sel, seen = [], set()
+            for k in range(order.size):
+                for s in (ia[k], ib[k]):
+                    if s not in seen:
+                        seen.add(s)
+                        sel.append(s)
+                if (len(sel) >= max_strings
+                        or len(sel) ** 2 >= max_dets):
+                    break
+            Asel = Bsel = np.array(sorted(sel))
+        else:
+            sa, sb, seen_a, seen_b = [], [], set(), set()
+            for k in range(order.size):
+                if ia[k] not in seen_a:
+                    seen_a.add(ia[k])
+                    sa.append(ia[k])
+                if ib[k] not in seen_b:
+                    seen_b.add(ib[k])
+                    sb.append(ib[k])
+                if ((len(sa) >= max_strings and len(sb) >= max_strings)
+                        or len(sa) * len(sb) >= max_dets):
+                    break
+            Asel, Bsel = np.array(sorted(sa)), np.array(sorted(sb))
+
+        k1 = h1 - 0.5 * np.einsum("prrq->pq", eri)
+        n = self.norb
+        Hp = self._pspace_block(k1, eri.reshape(n * n, n * n)
+                                .astype(np.float64), Asel, Bsel)
+        wp, yp = np.linalg.eigh(0.5 * (Hp + Hp.T))
+
+        guesses = []
+        for col in range(wp.size):
+            g = np.zeros((Na, Nb))
+            g[np.ix_(Asel, Bsel)] = yp[:, col].reshape(len(Asel), len(Bsel))
+            g = project(g.ravel())
+            for b in guesses:
+                g = g - b * (b @ g)
+            nrm = np.linalg.norm(g)
+            if nrm > 1e-6:
+                guesses.append(g / nrm)
+            if len(guesses) >= nroots:
+                break
+        return guesses
+
     # -- Davidson ------------------------------------------------------------
     def kernel(self, h1, h2, norb=None, nelec=None, nroots=1, tol=1e-10,
-               max_cycle=200, max_space=None):
+               max_cycle=200, max_space=None, conv_resid=1e-7):
         """Lowest nroots eigenpairs. Returns (e, vec) for nroots == 1,
         (list_of_e, list_of_vec) otherwise — matching the pyscf kernel's
-        return convention used in FCI_EVCont.py:70-77."""
+        return convention used in FCI_EVCont.py:70-77.
+
+        conv_resid bounds the residual norm per root: eigenVECTOR error is
+        first order in it (~resid/gap) and flows into the stored t-RDMs,
+        so 1e-7 keeps continuation energies at the 1e-8 Ha parity target
+        (eigenvalue error is second order and converges much earlier)."""
         h1 = np.asarray(h1, dtype=np.float64)
         eri = np.asarray(h2, dtype=np.float64)
         Na, Nb = self.dim
@@ -287,10 +398,14 @@ class FCISolver:
         def matvec(v):
             return self.sigma(v.reshape(Na, Nb), h1, eri).ravel()
 
-        # initial guesses: lowest-diagonal determinants, spin-projected
+        # initial guesses: eigenvectors of a low-diagonal pspace block
+        # (robust against missed excited roots); fall back to lowest-
+        # diagonal unit determinants if the projected pspace runs short
+        guesses = self._pspace_guesses(h1, eri, hdiag, nroots, project)
         order = np.argsort(hdiag)
-        guesses = []
         for idx in order:
+            if len(guesses) >= nroots:
+                break
             g = np.zeros(dim)
             g[idx] = 1.0
             g = project(g)
@@ -303,8 +418,6 @@ class FCISolver:
             nrm = np.linalg.norm(g)
             if nrm > 1e-6:
                 guesses.append(g / nrm)
-            if len(guesses) >= nroots:
-                break
 
         max_space = max_space or max(20, 6 * nroots)
         V = list(guesses)
@@ -322,21 +435,26 @@ class FCISolver:
             resid = AX - w[:, None] * X
             rnorm = np.linalg.norm(resid, axis=1)
             if last_e is not None and np.all(np.abs(w - last_e) < tol) \
-                    and np.all(rnorm < np.sqrt(tol)):
+                    and np.all(rnorm < conv_resid):
                 break
             last_e = w
             added = False
             for k in range(nroots):
-                if rnorm[k] < 1e-3 * np.sqrt(tol):
+                if rnorm[k] < 0.1 * conv_resid:
                     continue
                 denom = hdiag - w[k]
                 denom = np.where(np.abs(denom) < 1e-8,
                                  np.sign(denom + 1e-30) * 1e-8, denom)
                 t = project(resid[k] / denom)
-                for v in V:
-                    t = t - v * (v @ t)
+                # DGKS double re-orthogonalization: a single Gram-Schmidt
+                # pass loses orthogonality to ~eps/cos(angle), which stalls
+                # the residual around 1e-6 and makes the `not added` exit
+                # fire before tight conv_resid targets are reached
+                for _ in range(2):
+                    for v in V:
+                        t = t - v * (v @ t)
                 nrm = np.linalg.norm(t)
-                if nrm > 1e-6:
+                if nrm > 1e-10:
                     t = t / nrm
                     V.append(t)
                     AV.append(matvec(t))
