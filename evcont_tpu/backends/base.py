@@ -103,7 +103,7 @@ class EVContBackend:
     # caches and jitted engines are rebuilt lazily after restore)
     _SNAPSHOT_ATTRS = ("overlap", "one_rdm", "two_rdm", "ens", "mol_index",
                        "compress", "states", "fcivecs", "mps_states",
-                       "civecs")
+                       "civecs", "rerun_states")
 
     def snapshot(self):
         """Picklable training state for checkpoint/resume (the wavefunction

@@ -1,8 +1,16 @@
 """In-framework DMRG training-state backend.
 
-Reference parity: DMRG_EVCont_obj with the default OAO-basis strategy
-(evcont/DMRG_EVCont.py:17-87, 431-496) — one DMRG solve per geometry in
-the Löwdin basis, pairwise t-RDMs between the stored states.
+Reference parity: DMRG_EVCont_obj (evcont/DMRG_EVCont.py:431-496) with
+both working append strategies:
+  * "oao" (default, DMRG_EVCont.py:17-87) — one DMRG solve per geometry
+    in the shared Löwdin basis, pairwise t-RDMs between stored states;
+  * "rerun" (DMRG_EVCont.py:90-272) — solve each geometry in its own
+    computational basis (split/canonical, Fiedler-reordered) and re-run
+    DMRG per cross term with the ket Hamiltonian rotated into the
+    bra-aligned frame.
+(The reference's third strategy, append_to_rdms_orbital_rotation via
+MPS_orb_rotation.py, self-describes as not working —
+MPS_orb_rotation.py:98-101 — and is intentionally omitted.)
 
 This backend uses the framework's own MPS-DMRG (solvers/dmrg.py):
 Jordan-Wigner MPO compilation and two-site sweeps over the reference's
@@ -42,7 +50,8 @@ class DMRGBackend(EVContBackend):
     def __init__(self, bond_dims=None, sweeps_per_dim=2,
                  penalty=8.0, trdm_method="dense", max_bond_dim=256,
                  workdir=None, tolerance=1.0e-4, device=False,
-                 compress=False):
+                 compress=False, append_strategy="oao", cibasis="split",
+                 reorder_orbitals=True):
         """
         Args:
             bond_dims: bond-dimension ladder; defaults to the reference's
@@ -63,6 +72,19 @@ class DMRGBackend(EVContBackend):
                 vs ~200 s host numpy).
             compress: maintain the store in the fully compressed pair +
                 exchange layouts (see EVContBackend).
+            append_strategy: "oao" (default; one DMRG solve per geometry
+                in the shared Löwdin basis, DMRG_EVCont.py:17-87) or
+                "rerun" (solve in a geometry-local computational basis and
+                re-run DMRG for every cross term with the ket Hamiltonian
+                rotated into the bra-aligned frame,
+                DMRG_EVCont.py:90-272). "rerun" trades O(ntrain) extra
+                DMRG solves per append for a better-conditioned local
+                basis at each geometry.
+            cibasis: computational basis for the rerun strategy ("split"
+                is the reference's default, or "canonical"/"OAO").
+            reorder_orbitals: Fiedler-reorder the computational basis for
+                the rerun strategy (block2's orbital_reordering,
+                DMRG_EVCont.py:121-124).
         """
         super().__init__(compress=compress)
         self.bond_dims = tuple(bond_dims) if bond_dims is not None \
@@ -71,11 +93,16 @@ class DMRGBackend(EVContBackend):
         self.penalty = penalty
         assert trdm_method in ("dense", "mps")
         self.trdm_method = trdm_method
+        assert append_strategy in ("oao", "rerun")
+        self.append_strategy = append_strategy
+        self.cibasis = cibasis
+        self.reorder_orbitals = reorder_orbitals
         self.workdir = workdir
         self.tolerance = tolerance
         self.device = device
         self.civecs = []
         self.mps_states = []
+        self.rerun_states = []
         self._solver = None
         self._engine_cache = {}
 
@@ -85,19 +112,13 @@ class DMRGBackend(EVContBackend):
             self._engine_cache[key] = IntegralEngine(mol)
         return self._engine_cache[key]
 
-    def append_to_rdms(self, mol):
-        engine = self._engine(mol)
-        bundle = engine.compute_jit(np.asarray(mol.coords))
-        trafo = np.array(loewdin_trafo(bundle.ovlp))
-        h1, h2 = transform_integrals(
-            np.array(bundle.hcore), np.array(bundle.eri), trafo)
-        h1, h2 = np.array(h1), np.array(h2)
-        norb = engine.nao
-        na, nb = mol.nelec
-
+    def _solve(self, h1, h2, nelec, tag):
+        """One DMRG ground-state solve through whichever driver the
+        backend is configured for; returns (energy, normalized mps)."""
+        na, nb = nelec
+        norb = h1.shape[0]
         if self.workdir is not None:
             # schedule-parity path: noise decay, per-rung logging, restart
-            tag = f"state_{len(self.ens)}"
             mps, e = converge_dmrg(
                 h1, h2, (na, nb), tag,
                 bond_dim_schedule=np.array(list(self.bond_dims)
@@ -105,22 +126,36 @@ class DMRGBackend(EVContBackend):
                 tolerance=self.tolerance, restart_tag=tag,
                 workdir=self.workdir, penalty=self.penalty,
                 device=self.device)
+        elif self.device:
+            from ..solvers.dmrg_jax import dmrg_ground_state_device
+            e, mps = dmrg_ground_state_device(
+                h1, h2, (na, nb), bond_dims=self.bond_dims,
+                sweeps_per_dim=self.sweeps_per_dim,
+                penalty=self.penalty)
         else:
-            if self.device:
-                from ..solvers.dmrg_jax import dmrg_ground_state_device
-                e, mps = dmrg_ground_state_device(
-                    h1, h2, (na, nb), bond_dims=self.bond_dims,
-                    sweeps_per_dim=self.sweeps_per_dim,
-                    penalty=self.penalty)
-            else:
-                from ..solvers.dmrg import build_hamiltonian_mpo_fast
-                W = build_hamiltonian_mpo_fast(
-                    h1, h2, cutoff=1e-12 if norb <= 10 else 1e-9)
-                e, mps = dmrg_ground_state(
-                    W, 2 * norb, na + nb, sz=0.5 * (na - nb),
-                    bond_dims=self.bond_dims,
-                    sweeps_per_dim=self.sweeps_per_dim,
-                    penalty=self.penalty)
+            from ..solvers.dmrg import build_hamiltonian_mpo_fast
+            W = build_hamiltonian_mpo_fast(
+                h1, h2, cutoff=1e-12 if norb <= 10 else 1e-9)
+            e, mps = dmrg_ground_state(
+                W, 2 * norb, na + nb, sz=0.5 * (na - nb),
+                bond_dims=self.bond_dims,
+                sweeps_per_dim=self.sweeps_per_dim,
+                penalty=self.penalty)
+        return e, mps
+
+    def append_to_rdms(self, mol):
+        engine = self._engine(mol)
+        bundle = engine.compute_jit(np.asarray(mol.coords))
+        if self.append_strategy == "rerun":
+            return self._append_rerun(mol, engine, bundle)
+        trafo = np.array(loewdin_trafo(bundle.ovlp))
+        h1, h2 = transform_integrals(
+            np.array(bundle.hcore), np.array(bundle.eri), trafo)
+        h1, h2 = np.array(h1), np.array(h2)
+        norb = engine.nao
+        na, nb = mol.nelec
+
+        e, mps = self._solve(h1, h2, (na, nb), f"state_{len(self.ens)}")
         self.ens.append(e + float(bundle.enuc))
         self.mol_index.append(
             0 if not self.mol_index else max(self.mol_index) + 1)
@@ -153,8 +188,95 @@ class DMRGBackend(EVContBackend):
                 rdm2_row.append(r2)
         self._grow(ovlp_row, rdm1_row, rdm2_row)
 
+    def _append_rerun(self, mol, engine, bundle):
+        """Rerun append strategy (reference: DMRG_EVCont.py:90-272).
+
+        The new (bra) state is solved in its own computational basis
+        (`cibasis`, Fiedler-reordered when `reorder_orbitals`). For every
+        stored ket the ket Hamiltonian is rotated into the bra-aligned
+        frame and re-solved, so bra and transformed ket share one orbital
+        index space; cross t-RDMs are then plain MPS expectations, rotated
+        to the shared OAO store basis through the bra's
+        computational->OAO map. Matches the reference's
+        enforce_symmetric=True default (the (i, -1) terms are the
+        conjugates of (-1, i), DMRG_EVCont.py:210-214)."""
+        from ..solvers.localization import (fiedler_orbital_reordering,
+                                            get_basis)
+
+        norb = engine.nao
+        nelec = tuple(mol.nelec)
+        hcore, eri = np.array(bundle.hcore), np.array(bundle.eri)
+        S_bra = np.array(bundle.ovlp)
+
+        basis = np.array(get_basis(engine, mol.coords, self.cibasis))
+        if self.reorder_orbitals:
+            h1, h2 = transform_integrals(hcore, eri, basis)
+            perm = fiedler_orbital_reordering(np.array(h1), np.array(h2))
+            basis = basis[:, perm]
+        h1, h2 = transform_integrals(hcore, eri, basis)
+        h1, h2 = np.array(h1), np.array(h2)
+
+        n_new = len(self.ens)
+        e, mps_bra = self._solve(h1, h2, nelec, f"state_{n_new}")
+        nrm = np.sqrt(mps_overlap(mps_bra, mps_bra))
+        mps_bra = [t.copy() for t in mps_bra]
+        mps_bra[0] = mps_bra[0] / nrm
+        self.ens.append(e + float(bundle.enuc))
+        self.mol_index.append(
+            0 if not self.mol_index else max(self.mol_index) + 1)
+
+        # computational -> OAO map of the bra (reference's
+        # computational_to_OAO_bra, DMRG_EVCont.py:166-168)
+        oao_bra = np.array(loewdin_trafo(S_bra))
+        c2O_bra = oao_bra.T @ S_bra @ basis
+        self.rerun_states.append(dict(
+            coords=np.array(mol.coords, dtype=np.float64), nelec=nelec,
+            basis=basis, c2O=c2O_bra, mps=mps_bra))
+
+        trdm = "sweep-device" if self.device else "auto"
+        ovlp_row, rdm1_row, rdm2_row = [], [], []
+        n = len(self.rerun_states)
+        for i, rec in enumerate(self.rerun_states):
+            if i == n - 1:
+                t_ket = mps_bra
+            else:
+                # rotation taking the ket's computational basis into the
+                # bra-aligned frame (DMRG_EVCont.py:170-176)
+                U = rec["c2O"].T @ c2O_bra      # (comp_ket, comp_bra)
+                bket = engine.compute_jit(rec["coords"])
+                h1k, h2k = transform_integrals(
+                    np.array(bket.hcore), np.array(bket.eri),
+                    rec["basis"] @ U)
+                _, t_ket = self._solve(np.array(h1k), np.array(h2k),
+                                       rec["nelec"], f"state_{n - 1}_{i}")
+                nrm = np.sqrt(mps_overlap(t_ket, t_ket))
+                t_ket = [t.copy() for t in t_ket]
+                t_ket[0] = t_ket[0] / nrm
+            ovlp = mps_overlap(mps_bra, t_ket)
+            # each re-solve returns |i> with arbitrary global sign; pin it
+            # by the positive-overlap convention (ground states at nearby
+            # geometries overlap positively, so the true Gram matrix of a
+            # ground-state training set is entrywise positive — an
+            # inconsistent per-row sign is NOT a D S D gauge and would
+            # corrupt the GEP)
+            sgn = 1.0 if ovlp >= 0 else -1.0
+            ovlp_row.append(sgn * ovlp)
+            r1, r2 = mps_transition_rdm12(mps_bra, t_ket, norb,
+                                          method=trdm)
+            r1, r2 = sgn * np.array(r1), sgn * np.array(r2)
+            # computational -> OAO (our transform_integrals is C^T x C,
+            # the reference's is C x C^T — hence the transpose;
+            # DMRG_EVCont.py:205)
+            r1, r2 = transform_integrals(np.array(r1), np.array(r2),
+                                         c2O_bra.T)
+            rdm1_row.append(np.array(r1))
+            rdm2_row.append(np.array(r2))
+        self._grow(ovlp_row, rdm1_row, rdm2_row)
+
     def prune_datapoints(self, keep_ids):
         super().prune_datapoints(keep_ids)
+        if self.rerun_states:
+            self.rerun_states = [self.rerun_states[i] for i in keep_ids]
         if self.trdm_method == "dense":
             self.civecs = [self.civecs[i] for i in keep_ids]
         else:

@@ -76,3 +76,33 @@ def get_basis(engine, coords, basis_type="OAO", nocc=None):
             basis[:, sl] = C @ W
         return basis
     raise ValueError(f"unknown basis_type {basis_type!r}")
+
+
+def fiedler_orbital_reordering(h1, h2):
+    """Fiedler-vector orbital ordering for DMRG (block2's
+    `DMRGDriver.orbital_reordering` analog, used by the reference's rerun
+    append strategy, DMRG_EVCont.py:121-124): order orbitals by the
+    Fiedler vector of the interaction graph so strongly-coupled orbitals
+    sit close on the MPS chain, minimizing entanglement across cuts.
+
+    Edge weights follow block2's convention
+    K_ij = |h1_ij| + sqrt(|(ij|ji)|): one-electron hopping plus exchange.
+
+    Returns a permutation `perm` such that reordered = orbitals[perm].
+    """
+    h1 = np.asarray(h1, dtype=np.float64)
+    h2 = np.asarray(h2, dtype=np.float64)
+    n = h1.shape[0]
+    if n < 3:
+        return np.arange(n)
+    K = np.abs(h1) + np.sqrt(np.abs(np.einsum("ijji->ij", h2)))
+    np.fill_diagonal(K, 0.0)
+    K = 0.5 * (K + K.T)
+    L = np.diag(K.sum(axis=1)) - K
+    w, v = np.linalg.eigh(L)
+    fiedler = v[:, 1]
+    # deterministic sign: make the first nonzero component positive
+    nz = np.nonzero(np.abs(fiedler) > 1e-12)[0]
+    if nz.size and fiedler[nz[0]] < 0:
+        fiedler = -fiedler
+    return np.argsort(fiedler, kind="stable")

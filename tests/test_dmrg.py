@@ -269,3 +269,60 @@ def test_reference_ladder():
     assert max(lad) <= 256
     full = reference_ladder(10 ** 9)
     assert full[-1] == 6747              # round(1.8^15)
+
+
+def test_rerun_append_strategy_matches_oao():
+    """The rerun append strategy (reference DMRG_EVCont.py:90-272): solve
+    each geometry in its own split-localized Fiedler-reordered basis, re-
+    solve the ket Hamiltonian in the bra-aligned frame per cross term. At
+    exact bond dimension every solve is exact, so the OAO-rotated t-RDM
+    store — and the continuation PES — must match the default OAO
+    strategy."""
+    from evcont_tpu.backends.dmrg_backend import DMRGBackend
+    from evcont_tpu.model import ContinuationModel
+
+    def h4(d):
+        return Molecule.build([("H", (0, 0, d * i)) for i in range(4)],
+                              basis="sto-3g")
+
+    kw = dict(bond_dims=(16, 32, 64), sweeps_per_dim=3, trdm_method="mps")
+    b_oao = DMRGBackend(**kw)
+    b_rr = DMRGBackend(append_strategy="rerun", cibasis="split", **kw)
+    for d in [1.4, 2.1, 2.8]:
+        b_oao.append_to_rdms(h4(d))
+        b_rr.append_to_rdms(h4(d))
+    # training energies are basis independent up to the convergence of two
+    # INDEPENDENT variational solves (measured 1.4e-6 at these settings)
+    np.testing.assert_allclose(b_rr.ens, b_oao.ens, atol=3e-6)
+    # overlap Gram matrices agree entrywise (positive-overlap convention;
+    # measured 8.8e-8)
+    np.testing.assert_allclose(np.abs(b_rr.overlap),
+                               np.abs(b_oao.overlap), atol=1e-6)
+    m_oao = ContinuationModel.from_backend(h4(1.8), b_oao)
+    m_rr = ContinuationModel.from_backend(h4(1.8), b_rr)
+    for d in [1.6, 2.4]:
+        e_o = float(m_oao.potential(h4(d).coords))
+        e_r = float(m_rr.potential(h4(d).coords))
+        # f32 prediction path; measured 4.8e-7
+        assert abs(e_r - e_o) < 2e-6, (d, e_r, e_o)
+
+
+def test_fiedler_orbital_reordering():
+    """Fiedler ordering is a valid permutation, deterministic, and places
+    the strongly-coupled orbital pair adjacent on the chain."""
+    from evcont_tpu.solvers.localization import fiedler_orbital_reordering
+
+    rng = np.random.default_rng(3)
+    n = 6
+    # weak uniform background (connected graph — a disconnected Laplacian
+    # has a degenerate null space and no meaningful Fiedler vector) plus
+    # one dominant 0-5 coupling
+    h1 = np.full((n, n), 0.01) + np.diag(rng.normal(size=n) * 0.1)
+    h1[0, 5] = h1[5, 0] = 2.0
+    h2 = np.zeros((n, n, n, n))
+    perm = fiedler_orbital_reordering(h1, h2)
+    assert sorted(perm.tolist()) == list(range(n))
+    p = perm.tolist()
+    assert abs(p.index(0) - p.index(5)) == 1     # strongest edge adjacent
+    np.testing.assert_array_equal(
+        perm, fiedler_orbital_reordering(h1, h2))  # deterministic
