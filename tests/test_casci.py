@@ -11,6 +11,9 @@ from evcont_tpu.solvers.ci_transform import transform_ci
 from evcont_tpu.solvers.casci import casci, embed_cas_civec
 from evcont_tpu.solvers.localization import get_basis
 
+pytestmark = pytest.mark.slow  # multi-minute fixture; core run: -m 'not slow'
+
+
 
 def h4(d):
     return Molecule.build([("H", (0, 0, d * i)) for i in range(4)],

@@ -1,6 +1,7 @@
 """CCSD(+T) tests: exactness for 2 electrons, near-FCI for H4."""
 
 import numpy as np
+import pytest
 
 from evcont_tpu.molecule import Molecule
 from evcont_tpu.integrals.engine import IntegralEngine
@@ -8,6 +9,9 @@ from evcont_tpu.solvers.scf import rhf_from_engine
 from evcont_tpu.solvers.ccsd import ccsd
 from evcont_tpu.oao import transform_integrals
 from evcont_tpu.workloads.common import exact_fci_energy
+
+pytestmark = pytest.mark.slow  # multi-minute fixture; core run: -m 'not slow'
+
 
 
 def _mo_ints(mol):

@@ -8,10 +8,14 @@ translational invariance of the force.
 """
 
 import numpy as np
+import pytest
 
 from evcont_tpu.molecule import Molecule
 from evcont_tpu.integrals.engine import IntegralEngine
 from evcont_tpu.solvers.ccsd_grad import ccsd_energy_and_gradient
+
+pytestmark = pytest.mark.slow  # multi-minute fixture; core run: -m 'not slow'
+
 
 
 def _fd_gradient(engine, coords, eps=2e-4, **kw):

@@ -9,6 +9,9 @@ from evcont_tpu.solvers.dft_grid import (
     lebedev26, lebedev50, product_angular, molecular_grid, eval_aos)
 from evcont_tpu.workloads.common import water
 
+pytestmark = pytest.mark.slow  # multi-minute fixture; core run: -m 'not slow'
+
+
 
 def test_angular_rules_exact():
     for pts, wts in [lebedev26(), lebedev50(), product_angular(12)]:

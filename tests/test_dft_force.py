@@ -11,6 +11,9 @@ from evcont_tpu.molecule import Molecule
 from evcont_tpu.solvers.dft import rks
 from evcont_tpu.solvers.dft_force import rks_energy_and_force
 
+pytestmark = pytest.mark.slow  # multi-minute fixture; core run: -m 'not slow'
+
+
 _GRID = dict(n_rad=30, angular=26)
 
 

@@ -19,6 +19,8 @@ import time
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute fixture; core run: -m 'not slow'
+
 _WORKER = r"""
 import json, os, sys
 import numpy as np

@@ -13,6 +13,8 @@ from evcont_tpu.solvers.dmrg import (
     mps_to_ci, mpo_expectation,
 )
 
+pytestmark = pytest.mark.slow  # multi-minute fixture; core run: -m 'not slow'
+
 
 def _ints(natoms, d):
     mol = Molecule.build([("H", (0, 0, d * i)) for i in range(natoms)],

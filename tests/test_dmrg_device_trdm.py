@@ -8,6 +8,9 @@ from evcont_tpu.solvers.dmrg import (_sweep_all_elements,
                                      mps_transition_rdm12)
 from evcont_tpu.solvers.dmrg_trdm_device import _sweep_all_elements_device
 
+pytestmark = pytest.mark.slow  # multi-minute fixture; core run: -m 'not slow'
+
+
 
 def _rand_mps(n, m, seed):
     rng = np.random.default_rng(seed)

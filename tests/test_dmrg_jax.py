@@ -2,6 +2,7 @@
 solver and exact FCI."""
 
 import numpy as np
+import pytest
 
 from evcont_tpu.integrals.engine import IntegralEngine
 from evcont_tpu.molecule import Molecule
@@ -11,6 +12,9 @@ from evcont_tpu.solvers.dmrg import (
     number_penalty_mpo, _hf_product_mps)
 from evcont_tpu.solvers.dmrg_jax import DeviceDMRG, dmrg_ground_state_device
 from evcont_tpu.solvers.fci import FCISolver
+
+pytestmark = pytest.mark.slow  # multi-minute fixture; core run: -m 'not slow'
+
 
 
 def _ints(natoms, d=1.6):

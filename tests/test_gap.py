@@ -1,9 +1,13 @@
 """GAP/SOAP baseline tests (the dscribe + GP replacement)."""
 
 import numpy as np
+import pytest
 
 from evcont_tpu.baselines.gap import GAPModel, soap_descriptors
 from evcont_tpu.workloads.common import h_chain
+
+pytestmark = pytest.mark.slow  # multi-minute fixture; core run: -m 'not slow'
+
 
 
 def test_soap_invariances():

@@ -10,6 +10,9 @@ from evcont_tpu.molecule import Molecule
 from evcont_tpu.backends.fci_backend import FCIBackend
 from evcont_tpu.backends.host_worker import HostWorkerBackend
 
+pytestmark = pytest.mark.slow  # multi-minute fixture; core run: -m 'not slow'
+
+
 
 def _h4(d):
     return Molecule.build([("H", (0.0, 0.0, d * i)) for i in range(4)],

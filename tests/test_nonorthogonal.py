@@ -16,6 +16,8 @@ from evcont_tpu.solvers.nonorthogonal import (
     trans_rdm12_nonorthogonal,
 )
 
+pytestmark = pytest.mark.slow  # multi-minute fixture; core run: -m 'not slow'
+
 
 def h4(d):
     return Molecule.build([("H", (0, 0, d * i)) for i in range(4)],

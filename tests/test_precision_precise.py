@@ -17,6 +17,9 @@ from evcont_tpu.model import ContinuationModel
 from evcont_tpu.oao import loewdin_trafo_refined
 from evcont_tpu.continuation import to_pair_layout
 
+pytestmark = pytest.mark.slow  # multi-minute fixture; core run: -m 'not slow'
+
+
 
 def chain(d, n=4, basis="sto-3g"):
     xs = (np.arange(n) - np.median(np.arange(n))) * d

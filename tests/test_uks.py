@@ -20,6 +20,9 @@ from evcont_tpu.molecule import Molecule
 from evcont_tpu.solvers import dft
 from evcont_tpu.solvers.dft import rks, uks
 
+pytestmark = pytest.mark.slow  # multi-minute fixture; core run: -m 'not slow'
+
+
 
 def _h2(d=1.4, spin=0):
     return Molecule.build([("H", (0, 0, 0)), ("H", (0, 0, d))],

@@ -6,6 +6,9 @@ import pytest
 
 from evcont_tpu.workloads.common import water
 
+pytestmark = pytest.mark.slow  # multi-minute fixture; core run: -m 'not slow'
+
+
 
 def test_h6_pes_workload(tmp_path):
     from evcont_tpu.workloads import h6_pes
