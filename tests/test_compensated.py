@@ -2,6 +2,7 @@
 accumulation, Rayleigh-refined GEP (subspace/compensated.py)."""
 
 import numpy as np
+import pytest
 
 from evcont_tpu.subspace.compensated import (
     split_two_float, two_sum, compensated_matvec,
@@ -28,6 +29,7 @@ def test_two_sum_error_free():
         + float(np.float32(1e-7))
 
 
+@pytest.mark.slow
 def test_compensated_matvec_beats_plain_f32():
     rng = np.random.default_rng(1)
     M, K = 64, 120000

@@ -136,6 +136,7 @@ def test_h2o_ccpvdz_rhf_literature():
     assert abs(res.e_tot - (-76.026799)) < 2e-5
 
 
+@pytest.mark.slow
 def test_f_shell_machinery():
     """l >= 3 spherical harmonics from the numerical harmonic-kernel basis:
     unit norms and exact rotation closure (a non-harmonic admixture would

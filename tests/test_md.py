@@ -115,6 +115,7 @@ def test_observables(h2_model):
     assert abs(np.trace(np.array(rdm1)) - 2.0) < 1e-8
 
 
+@pytest.mark.slow
 def test_active_learning_converges(tmp_path):
     from evcont_tpu.learn.active import converge_EVCont_MD
 
