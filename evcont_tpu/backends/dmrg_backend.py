@@ -275,9 +275,13 @@ class DMRGBackend(EVContBackend):
 
     def prune_datapoints(self, keep_ids):
         super().prune_datapoints(keep_ids)
+        keep_ids = list(keep_ids)
+        # only the lists the active strategy populates are prunable:
+        # "oao" fills civecs (dense) or mps_states (mps), "rerun" fills
+        # rerun_states — the others stay empty
         if self.rerun_states:
             self.rerun_states = [self.rerun_states[i] for i in keep_ids]
-        if self.trdm_method == "dense":
+        if self.civecs:
             self.civecs = [self.civecs[i] for i in keep_ids]
-        else:
+        if self.mps_states:
             self.mps_states = [self.mps_states[i] for i in keep_ids]

@@ -328,3 +328,35 @@ def test_fiedler_orbital_reordering():
     assert abs(p.index(0) - p.index(5)) == 1     # strongest edge adjacent
     np.testing.assert_array_equal(
         perm, fiedler_orbital_reordering(h1, h2))  # deterministic
+
+
+def test_rerun_strategy_snapshot_resume_and_prune():
+    """rerun_states travel through snapshot/restore (crash-resume parity
+    with the OAO strategy) and prune_datapoints keeps records aligned."""
+    from evcont_tpu.backends.dmrg_backend import DMRGBackend
+
+    def h4(d):
+        return Molecule.build([("H", (0, 0, d * i)) for i in range(4)],
+                              basis="sto-3g")
+
+    kw = dict(bond_dims=(16, 32), sweeps_per_dim=2, trdm_method="mps",
+              append_strategy="rerun", cibasis="canonical")
+    b = DMRGBackend(**kw)
+    for d in [1.4, 2.1]:
+        b.append_to_rdms(h4(d))
+    snap = b.snapshot()
+
+    b2 = DMRGBackend(**kw)
+    b2.restore(snap)
+    assert len(b2.rerun_states) == 2
+    b2.append_to_rdms(h4(2.8))
+
+    b3 = DMRGBackend(**kw)
+    for d in [1.4, 2.1, 2.8]:
+        b3.append_to_rdms(h4(d))
+    np.testing.assert_allclose(b2.ens, b3.ens, atol=1e-7)
+    np.testing.assert_allclose(b2.overlap, b3.overlap, atol=1e-6)
+
+    b3.prune_datapoints([0, 2])
+    assert len(b3.rerun_states) == 2 and len(b3.ens) == 2
+    assert b3.overlap.shape == (2, 2)
