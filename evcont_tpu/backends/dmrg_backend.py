@@ -1,16 +1,20 @@
 """In-framework DMRG training-state backend.
 
 Reference parity: DMRG_EVCont_obj (evcont/DMRG_EVCont.py:431-496) with
-both working append strategies:
+all three append strategies:
   * "oao" (default, DMRG_EVCont.py:17-87) — one DMRG solve per geometry
     in the shared Löwdin basis, pairwise t-RDMs between stored states;
   * "rerun" (DMRG_EVCont.py:90-272) — solve each geometry in its own
     computational basis (split/canonical, Fiedler-reordered) and re-run
     DMRG per cross term with the ket Hamiltonian rotated into the
-    bra-aligned frame.
-(The reference's third strategy, append_to_rdms_orbital_rotation via
-MPS_orb_rotation.py, self-describes as not working —
-MPS_orb_rotation.py:98-101 — and is intentionally omitted.)
+    bra-aligned frame;
+  * "orbital_rotation" (DMRG_EVCont.py:275-428) — like "rerun" but the
+    stored ket MPS is ROTATED into the bra-aligned frame instead of
+    re-solved (no extra DMRG solves per cross term). The reference built
+    this on imaginary-time MPO evolution and records that it "never
+    really worked well" (MPS_orb_rotation.py:98-101); here it uses the
+    exact adjacent-orbital Givens-gate circuit
+    (solvers/mps_rotation.py), which is exact up to SVD truncation.
 
 This backend uses the framework's own MPS-DMRG (solvers/dmrg.py):
 Jordan-Wigner MPO compilation and two-site sweeps over the reference's
@@ -51,7 +55,7 @@ class DMRGBackend(EVContBackend):
                  penalty=8.0, trdm_method="dense", max_bond_dim=256,
                  workdir=None, tolerance=1.0e-4, device=False,
                  compress=False, append_strategy="oao", cibasis="split",
-                 reorder_orbitals=True):
+                 reorder_orbitals=True, rotation_bond_dim=None):
         """
         Args:
             bond_dims: bond-dimension ladder; defaults to the reference's
@@ -79,12 +83,20 @@ class DMRGBackend(EVContBackend):
                 rotated into the bra-aligned frame,
                 DMRG_EVCont.py:90-272). "rerun" trades O(ntrain) extra
                 DMRG solves per append for a better-conditioned local
-                basis at each geometry.
-            cibasis: computational basis for the rerun strategy ("split"
-                is the reference's default, or "canonical"/"OAO").
+                basis at each geometry. "orbital_rotation"
+                (DMRG_EVCont.py:275-428) keeps the local bases but
+                Givens-rotates the stored ket MPSes into the bra frame
+                instead of re-solving — no extra DMRG solves, at the
+                cost of rotation-induced bond growth (capped by
+                rotation_bond_dim).
+            cibasis: computational basis for the rerun/orbital_rotation
+                strategies ("split" is the reference's default, or
+                "canonical"/"OAO").
             reorder_orbitals: Fiedler-reorder the computational basis for
-                the rerun strategy (block2's orbital_reordering,
-                DMRG_EVCont.py:121-124).
+                the rerun/orbital_rotation strategies (block2's
+                orbital_reordering, DMRG_EVCont.py:121-124).
+            rotation_bond_dim: staircase bond-dimension cap for the
+                orbital_rotation strategy (default 2 * max(bond_dims)).
         """
         super().__init__(compress=compress)
         self.bond_dims = tuple(bond_dims) if bond_dims is not None \
@@ -93,8 +105,9 @@ class DMRGBackend(EVContBackend):
         self.penalty = penalty
         assert trdm_method in ("dense", "mps")
         self.trdm_method = trdm_method
-        assert append_strategy in ("oao", "rerun")
+        assert append_strategy in ("oao", "rerun", "orbital_rotation")
         self.append_strategy = append_strategy
+        self.rotation_bond_dim = rotation_bond_dim
         self.cibasis = cibasis
         self.reorder_orbitals = reorder_orbitals
         self.workdir = workdir
@@ -146,7 +159,7 @@ class DMRGBackend(EVContBackend):
     def append_to_rdms(self, mol):
         engine = self._engine(mol)
         bundle = engine.compute_jit(np.asarray(mol.coords))
-        if self.append_strategy == "rerun":
+        if self.append_strategy in ("rerun", "orbital_rotation"):
             return self._append_rerun(mol, engine, bundle)
         trafo = np.array(loewdin_trafo(bundle.ovlp))
         h1, h2 = transform_integrals(
@@ -189,14 +202,17 @@ class DMRGBackend(EVContBackend):
         self._grow(ovlp_row, rdm1_row, rdm2_row)
 
     def _append_rerun(self, mol, engine, bundle):
-        """Rerun append strategy (reference: DMRG_EVCont.py:90-272).
+        """Rerun / orbital-rotation append strategies (reference:
+        DMRG_EVCont.py:90-272 / :275-428).
 
         The new (bra) state is solved in its own computational basis
         (`cibasis`, Fiedler-reordered when `reorder_orbitals`). For every
-        stored ket the ket Hamiltonian is rotated into the bra-aligned
-        frame and re-solved, so bra and transformed ket share one orbital
-        index space; cross t-RDMs are then plain MPS expectations, rotated
-        to the shared OAO store basis through the bra's
+        stored ket, bra and ket are brought into one orbital index space:
+        "rerun" re-solves the ket Hamiltonian in the bra-aligned frame;
+        "orbital_rotation" Givens-rotates the stored ket MPS into it
+        (solvers/mps_rotation.py — exact up to SVD truncation, no extra
+        DMRG solves). Cross t-RDMs are then plain MPS expectations,
+        rotated to the shared OAO store basis through the bra's
         computational->OAO map. Matches the reference's
         enforce_symmetric=True default (the (i, -1) terms are the
         conjugates of (-1, i), DMRG_EVCont.py:210-214)."""
@@ -239,6 +255,14 @@ class DMRGBackend(EVContBackend):
         for i, rec in enumerate(self.rerun_states):
             if i == n - 1:
                 t_ket = mps_bra
+            elif self.append_strategy == "orbital_rotation":
+                # exact Givens-gate rotation of the stored ket into the
+                # bra-aligned frame (reference: orbital_rotation_mps,
+                # MPS_orb_rotation.py:30-81, rebuilt sound)
+                from ..solvers.mps_rotation import rotate_orbitals_mps
+                U = rec["c2O"].T @ c2O_bra      # (comp_ket, comp_bra)
+                cap = self.rotation_bond_dim or 2 * max(self.bond_dims)
+                t_ket, _ = rotate_orbitals_mps(rec["mps"], U, m=cap)
             else:
                 # rotation taking the ket's computational basis into the
                 # bra-aligned frame (DMRG_EVCont.py:170-176)
@@ -253,13 +277,16 @@ class DMRGBackend(EVContBackend):
                 t_ket = [t.copy() for t in t_ket]
                 t_ket[0] = t_ket[0] / nrm
             ovlp = mps_overlap(mps_bra, t_ket)
-            # each re-solve returns |i> with arbitrary global sign; pin it
+            # each RE-SOLVE returns |i> with arbitrary global sign; pin it
             # by the positive-overlap convention (ground states at nearby
             # geometries overlap positively, so the true Gram matrix of a
             # ground-state training set is entrywise positive — an
             # inconsistent per-row sign is NOT a D S D gauge and would
-            # corrupt the GEP)
-            sgn = 1.0 if ovlp >= 0 else -1.0
+            # corrupt the GEP). The gate rotation is deterministic (no
+            # sign ambiguity), so it keeps the ket's stored sign.
+            sgn = 1.0
+            if self.append_strategy == "rerun" and ovlp < 0:
+                sgn = -1.0
             ovlp_row.append(sgn * ovlp)
             r1, r2 = mps_transition_rdm12(mps_bra, t_ket, norb,
                                           method=trdm)
