@@ -372,13 +372,25 @@ class ContinuationModel:
             r1_hi, r1_lo, r2_hi, r2_lo, overlap64, mode="exact")
         return jax.value_and_grad(total_energy)(coords)
 
-    @partial(jax.jit, static_argnums=(0, 7))
+    @partial(jax.jit, static_argnums=(0, 7, 8))
     def _ef_precise_batch(self, coords_batch, r1_hi, r1_lo, r2_hi, r2_lo,
-                          overlap64, mode):
+                          overlap64, mode, chunk=None):
         total_energy = self._precise_total_energy_fn(
             r1_hi, r1_lo, r2_hi, r2_lo, overlap64, mode=mode,
             kblock=1024 if mode == "exact" else 8192)
-        return jax.vmap(jax.value_and_grad(total_energy))(coords_batch)
+        body = jax.vmap(jax.value_and_grad(total_energy))
+        B = coords_batch.shape[0]
+        if chunk is None or chunk >= B:
+            return body(coords_batch)
+        # chunked dispatch: lax.map keeps the compiled program at the
+        # chunk's footprint regardless of B — the emulated-f64 pipeline's
+        # program is large enough that big fused batches can exhaust the
+        # (remote) compiler, while chunk-sized bodies are known-good
+        assert B % chunk == 0, (B, chunk)
+        cb = coords_batch.reshape((B // chunk, chunk)
+                                  + coords_batch.shape[1:])
+        e, g = jax.lax.map(body, cb)
+        return e.reshape(B), g.reshape((B,) + coords_batch.shape[1:])
 
     def potential_and_forces_precise(self, coords):
         """(E, F) at full f64 accuracy on f32 hardware: emulated-f64
@@ -404,7 +416,7 @@ class ContinuationModel:
         return e, -g
 
     def potential_and_forces_precise_batch(self, coords_batch,
-                                           mode="compensated"):
+                                           mode="compensated", chunk=None):
         """Batched (E, F) at near-f64 accuracy on f32 hardware — the
         precise-mode throughput path closing the round-2 split between
         "accurate" and "fast" (VERDICT r2). vmap turns every per-geometry
@@ -415,6 +427,10 @@ class ContinuationModel:
         mode: "compensated" (MXU, chunked two-float accumulation — the
         default throughput rung) or "exact" (TwoProd/TwoSum, VPU-bound,
         strictly f64-class; slower and memory-heavier under vmap).
+        chunk: when set, the batch is processed in lax.map sub-batches of
+        this size inside ONE dispatch — the compiled program stays at the
+        chunk's footprint, so arbitrarily large batches amortize dispatch
+        overhead without growing the (remote) compile.
         Requires jax_enable_x64."""
         if not jax.config.jax_enable_x64:
             raise RuntimeError(
@@ -422,10 +438,53 @@ class ContinuationModel:
         if not hasattr(self, "_comp_r1"):
             self.enable_compensated()
         overlap64 = jnp.asarray(np.asarray(self.overlap, dtype=np.float64))
+        cb = np.asarray(coords_batch, dtype=np.float64)
+        B = cb.shape[0]
+        if chunk is not None and B % chunk != 0:
+            pad = (-B) % chunk
+            cb = np.concatenate([cb, np.repeat(cb[-1:], pad, axis=0)])
         e, g = self._ef_precise_batch(
-            jnp.asarray(coords_batch, dtype=jnp.float64), *self._comp_r1,
-            *self._comp_r2, overlap64, mode)
-        return e, -g
+            jnp.asarray(cb), *self._comp_r1,
+            *self._comp_r2, overlap64, mode, chunk)
+        return e[:B], -g[:B]
+
+    def potential_and_forces_precise_sharded(self, coords_batch, mesh,
+                                             mode="exact"):
+        """Data-parallel precise batch over a device mesh: geometries
+        sharded over the mesh's "data" axis, the two-float store and the
+        training overlap replicated per device (the Zundel-84 split store
+        is ~8 GiB f32 hi+lo — within one v5e chip's HBM). Batched PES is
+        embarrassingly parallel over geometries, so throughput scales
+        linearly with the data axis and the north-star hardware (a v5e-8
+        slice, BASELINE.json) delivers 8x the single-chip precise rate at
+        unchanged accuracy. Per-device batch = B / mesh.shape["data"];
+        keep it at the known-good single-chip size (4-8)."""
+        from .parallel.mesh import batch_sharding, replicated
+
+        if not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "potential_and_forces_precise_sharded requires "
+                "jax_enable_x64")
+        if not hasattr(self, "_comp_r1"):
+            self.enable_compensated()
+        n_data = mesh.shape["data"]
+        cb = np.asarray(coords_batch, dtype=np.float64)
+        B = cb.shape[0]
+        if B % n_data != 0:
+            pad = (-B) % n_data
+            cb = np.concatenate([cb, np.repeat(cb[-1:], pad, axis=0)])
+        rep = replicated(mesh)
+
+        def put(x):
+            return None if x is None else jax.device_put(x, rep)
+
+        overlap64 = jax.device_put(
+            np.asarray(self.overlap, dtype=np.float64), rep)
+        cb = jax.device_put(cb, batch_sharding(mesh))
+        e, g = self._ef_precise_batch(
+            cb, *(put(x) for x in self._comp_r1),
+            *(put(x) for x in self._comp_r2), overlap64, mode, None)
+        return e[:B], -g[:B]
 
     def two_rdm_tril(self):
         """The two-body store in the reference's tril slot order

@@ -155,3 +155,45 @@ def test_precise_path_f32_store(trained_model):
     # forces carry the f32 predicted-RDM contraction error (~1e-7 relative
     # — two orders under the 1e-6 Ha/Bohr north star); energy does not
     assert np.abs(np.asarray(f32_) - np.asarray(f64_)).max() < 1e-7
+
+
+def test_precise_batch_chunked_matches_unchunked(trained_model):
+    """chunk= lax.map dispatch (the large-batch path that keeps the
+    compiled program at the chunk's footprint) must be bitwise-equivalent
+    work; includes the non-divisible-batch padding path."""
+    model = trained_model
+    rng = np.random.default_rng(2)
+    batch = np.stack([
+        np.asarray(chain(1.7).coords) + 0.02 * rng.standard_normal((4, 3))
+        for _ in range(5)])          # 5 % 2 != 0 -> exercises the padding
+    e_ref, f_ref = model.potential_and_forces_precise_batch(
+        batch, mode="exact")
+    e_ch, f_ch = model.potential_and_forces_precise_batch(
+        batch, mode="exact", chunk=2)
+    assert e_ch.shape == (5,)
+    np.testing.assert_allclose(np.array(e_ch), np.array(e_ref), atol=1e-11)
+    np.testing.assert_allclose(np.array(f_ch), np.array(f_ref), atol=1e-9)
+
+
+def test_precise_batch_sharded_matches_plain(trained_model):
+    """Data-parallel precise batch over the fake 8-device mesh: geometries
+    sharded over "data", store replicated — same values as the
+    single-device batch (the v5e-8 north-star configuration,
+    BASELINE.json)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from evcont_tpu.parallel.mesh import make_mesh
+
+    model = trained_model
+    rng = np.random.default_rng(3)
+    batch = np.stack([
+        np.asarray(chain(1.7).coords) + 0.02 * rng.standard_normal((4, 3))
+        for _ in range(8)])
+    e_ref, f_ref = model.potential_and_forces_precise_batch(
+        batch, mode="exact")
+    mesh = make_mesh(8, data_axis=8)
+    e_sh, f_sh = model.potential_and_forces_precise_sharded(
+        batch, mesh, mode="exact")
+    np.testing.assert_allclose(np.array(e_sh), np.array(e_ref), atol=1e-11)
+    np.testing.assert_allclose(np.array(f_sh), np.array(f_ref), atol=1e-9)

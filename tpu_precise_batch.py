@@ -16,6 +16,7 @@ Usage: python tpu_precise_batch.py [batch_sizes...]   (default 4 8 16)
 """
 
 import json
+import os
 import sys
 import time
 
@@ -28,6 +29,11 @@ import bench
 
 
 def main():
+    # batches above the known-good fused size run as chunk-4 lax.map
+    # sub-batches inside one dispatch (the emulated-f64 program at B>4
+    # exhausts the axon remote-compile helper; the chunked program stays
+    # at the B=4 footprint)
+    chunk = int(os.environ.get("PRECISE_CHUNK", "4"))
     sizes = [int(a) for a in sys.argv[1:]] or [4, 8, 16]
     model, _, nao = bench._build_model(overlap_f64=True)
     cache = bench._cache_load()
@@ -43,16 +49,18 @@ def main():
         for B in sizes:
             batch = batch_all[:B].astype(np.float64)
             try:
+                ck = chunk if B > chunk else None
                 t0 = time.time()
-                e, F = model.potential_and_forces_precise_batch(batch,
-                                                                mode=mode)
+                e, F = model.potential_and_forces_precise_batch(
+                    batch, mode=mode, chunk=ck)
                 np.array(e)
                 t_compile = time.time() - t0
                 times = []
                 for rep in range(3):
                     t0 = time.time()
                     e, F = model.potential_and_forces_precise_batch(
-                        batch * (1.0 + 1e-9 * (rep + 1)), mode=mode)
+                        batch * (1.0 + 1e-9 * (rep + 1)), mode=mode,
+                        chunk=ck)
                     np.array(e)
                     times.append(time.time() - t0)
                 per = float(np.median(times)) / B
@@ -62,7 +70,8 @@ def main():
                 if e_ref is not None:
                     # batch[0] is the bench geometry (same rng seed)
                     e0, F0 = model.potential_and_forces_precise_batch(
-                        batch_all[: B].astype(np.float64), mode=mode)
+                        batch_all[: B].astype(np.float64), mode=mode,
+                        chunk=ck)
                     dE = abs(float(np.array(e0)[0]) - e_ref)
                     dF = np.abs(np.array(F0)[0] - f_ref).max()
                     line += f" | vs CPU f64: |dE|={dE:.2e} Ha, " \
