@@ -77,6 +77,18 @@ def mpo_add(A, B):
     return out
 
 
+def _svd(mat):
+    """SVD with a gesvd fallback: LAPACK's default divide-and-conquer
+    driver (gesdd) can fail to converge on ill-scaled MPO blocks; the
+    slower Jacobi-free gesvd is unconditionally convergent."""
+    try:
+        return np.linalg.svd(mat, full_matrices=False)
+    except np.linalg.LinAlgError:
+        from scipy.linalg import svd as _scipy_svd
+        return _scipy_svd(mat, full_matrices=False,
+                          lapack_driver="gesvd")
+
+
 def mpo_compress(W, cutoff=1e-12):
     """Two-pass SVD compression of an MPO at near-machine cutoff."""
     n = len(W)
@@ -86,7 +98,7 @@ def mpo_compress(W, cutoff=1e-12):
         w = W[i]
         Dl, Dr = w.shape[0], w.shape[1]
         mat = np.transpose(w, (0, 2, 3, 1)).reshape(Dl * 4, Dr)
-        U, s, Vt = np.linalg.svd(mat, full_matrices=False)
+        U, s, Vt = _svd(mat)
         keep = max(1, int(np.sum(s > cutoff * max(s[0], 1e-300))))
         U, s, Vt = U[:, :keep], s[:keep], Vt[:keep]
         W[i] = np.transpose(U.reshape(Dl, 2, 2, keep), (0, 3, 1, 2))
@@ -97,7 +109,7 @@ def mpo_compress(W, cutoff=1e-12):
         w = W[i]
         Dl, Dr = w.shape[0], w.shape[1]
         mat = w.reshape(Dl, Dr * 4)
-        U, s, Vt = np.linalg.svd(mat, full_matrices=False)
+        U, s, Vt = _svd(mat)
         keep = max(1, int(np.sum(s > cutoff * max(s[0], 1e-300))))
         U, s, Vt = U[:, :keep], s[:keep], Vt[:keep]
         W[i] = Vt.reshape(keep, Dr, 2, 2)
@@ -179,7 +191,7 @@ def _right_canonicalize(mps):
     for i in range(n - 1, 0, -1):
         Dl, d, Dr = mps[i].shape
         mat = mps[i].reshape(Dl, d * Dr)
-        U, s, Vt = np.linalg.svd(mat, full_matrices=False)
+        U, s, Vt = _svd(mat)
         mps[i] = Vt.reshape(-1, d, Dr)
         mps[i - 1] = np.einsum("adb,bc,c->adc", mps[i - 1], U, s,
                                optimize=True)
@@ -422,7 +434,7 @@ def _two_site_update(mps, W, LE, RE, i, m, rng, noise, sweep_dir):
     if noise > 0:
         th = th + noise * rng.standard_normal(th.shape) \
             * np.linalg.norm(th) / np.sqrt(th.size)
-    U, s, Vt = np.linalg.svd(th, full_matrices=False)
+    U, s, Vt = _svd(th)
     keep = min(m, int(np.sum(s > 1e-12)))
     keep = max(keep, 1)
     dw = float(np.sum(s[keep:] ** 2) / max(np.sum(s ** 2), 1e-300))

@@ -144,3 +144,21 @@ def test_orbital_rotation_append_strategy_matches_oao():
         e_o = float(m_oao.potential(h4(d).coords))
         e_r = float(m_rot.potential(h4(d).coords))
         assert abs(e_r - e_o) < 2e-6, (d, e_r, e_o)
+
+
+def test_svd_gesvd_fallback(monkeypatch):
+    """dmrg._svd must survive gesdd non-convergence (observed on
+    ill-scaled MPO compression blocks at norb >= 10) by falling back to
+    the unconditionally convergent gesvd driver."""
+    from evcont_tpu.solvers import dmrg as dmod
+
+    A = np.random.default_rng(0).normal(size=(12, 7))
+    U, s, Vt = dmod._svd(A)
+    np.testing.assert_allclose((U * s) @ Vt, A, atol=1e-12)
+
+    def boom(*a, **k):
+        raise np.linalg.LinAlgError("SVD did not converge")
+
+    monkeypatch.setattr(np.linalg, "svd", boom)
+    U, s, Vt = dmod._svd(A)
+    np.testing.assert_allclose((U * s) @ Vt, A, atol=1e-12)
