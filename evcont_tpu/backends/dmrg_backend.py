@@ -37,7 +37,8 @@ from ..integrals.engine import IntegralEngine
 from ..oao import loewdin_trafo, transform_integrals
 from ..solvers.dmrg import (build_hamiltonian_mpo, converge_dmrg,
                             dmrg_ground_state, mps_overlap, mps_to_ci,
-                            mps_transition_rdm12)
+                            mps_transition_rdm12,
+                            mps_transition_rdm12_multi)
 from ..solvers.fci import FCISolver
 from .base import EVContBackend
 
@@ -192,11 +193,20 @@ class DMRGBackend(EVContBackend):
             mps = [t.copy() for t in mps]
             mps[0] = mps[0] / nrm
             self.mps_states.append(mps)
-            trdm = "sweep-device" if self.device else "auto"
             for st in self.mps_states:
                 ovlp_row.append(mps_overlap(self.mps_states[-1], st))
-                r1, r2 = mps_transition_rdm12(self.mps_states[-1], st,
-                                              norb, method=trdm)
+            if self.device:
+                # batched multi-ket sweep: one jitted site step serves
+                # every stored state (amortizes per-pair dispatch + fills
+                # the MXU with the whole training set's transfers)
+                rdms = mps_transition_rdm12_multi(
+                    self.mps_states[-1], self.mps_states, norb,
+                    method="sweep-device")
+            else:
+                rdms = [mps_transition_rdm12(self.mps_states[-1], st,
+                                             norb, method="auto")
+                        for st in self.mps_states]
+            for r1, r2 in rdms:
                 rdm1_row.append(r1)
                 rdm2_row.append(r2)
         self._grow(ovlp_row, rdm1_row, rdm2_row)
@@ -249,9 +259,9 @@ class DMRGBackend(EVContBackend):
             coords=np.array(mol.coords, dtype=np.float64), nelec=nelec,
             basis=basis, c2O=c2O_bra, mps=mps_bra))
 
-        trdm = "sweep-device" if self.device else "auto"
         ovlp_row, rdm1_row, rdm2_row = [], [], []
         n = len(self.rerun_states)
+        t_kets = []
         for i, rec in enumerate(self.rerun_states):
             if i == n - 1:
                 t_ket = mps_bra
@@ -276,6 +286,10 @@ class DMRGBackend(EVContBackend):
                 nrm = np.sqrt(mps_overlap(t_ket, t_ket))
                 t_ket = [t.copy() for t in t_ket]
                 t_ket[0] = t_ket[0] / nrm
+            t_kets.append(t_ket)
+
+        signs = []
+        for i, t_ket in enumerate(t_kets):
             ovlp = mps_overlap(mps_bra, t_ket)
             # each RE-SOLVE returns |i> with arbitrary global sign; pin it
             # by the positive-overlap convention (ground states at nearby
@@ -287,9 +301,16 @@ class DMRGBackend(EVContBackend):
             sgn = 1.0
             if self.append_strategy == "rerun" and ovlp < 0:
                 sgn = -1.0
+            signs.append(sgn)
             ovlp_row.append(sgn * ovlp)
-            r1, r2 = mps_transition_rdm12(mps_bra, t_ket, norb,
-                                          method=trdm)
+        if self.device:
+            rdms = mps_transition_rdm12_multi(mps_bra, t_kets, norb,
+                                              method="sweep-device")
+        else:
+            rdms = [mps_transition_rdm12(mps_bra, t_ket, norb,
+                                         method="auto")
+                    for t_ket in t_kets]
+        for sgn, (r1, r2) in zip(signs, rdms):
             r1, r2 = sgn * np.array(r1), sgn * np.array(r2)
             # computational -> OAO (our transform_integrals is C^T x C,
             # the reference's is C x C^T — hence the transpose;

@@ -880,12 +880,44 @@ def mps_transition_rdm12(mpsA, mpsB, norb, method="auto"):
     if method == "strings":
         return mps_transition_rdm12_strings(mpsA, mpsB, norb)
 
-    n = 2 * norb
     if method == "sweep-device":
         from .dmrg_trdm_device import _sweep_all_elements_device
         keys, vals = _sweep_all_elements_device(mpsA, mpsB)
     else:
         keys, vals = _sweep_all_elements(mpsA, mpsB)
+    return _decode_rdm12(keys, vals, norb)
+
+
+def mps_transition_rdm12_multi(mpsA, kets, norb, method="auto", chunk=8):
+    """Transition 1-/2-RDMs of one bra against MANY kets.
+
+    On the device path the cached-environment sweep is batched over the
+    ket axis (solvers/dmrg_trdm_device._sweep_all_elements_device_multi):
+    one jitted site-step dispatch serves every ket, so the per-pair
+    dispatch overhead AND the small-GEMM underutilization of a single
+    m x m sweep are amortized across the training set — this is what an
+    active-learning append does (new state vs all stored states,
+    DMRG_EVCont.py:70-85). `chunk` bounds the ket batch per sweep (the
+    emitted value blocks scale linearly with it in HBM).
+
+    Returns a list of (rdm1, rdm2), one per ket."""
+    if method == "auto":
+        method = "sweep" if norb > 4 else "strings"
+    if method == "strings" or method == "sweep":
+        return [mps_transition_rdm12(mpsA, B, norb, method=method)
+                for B in kets]
+    from .dmrg_trdm_device import _sweep_all_elements_device_multi
+    out = []
+    for start in range(0, len(kets), chunk):
+        group = kets[start:start + chunk]
+        keys, vals = _sweep_all_elements_device_multi(mpsA, group)
+        out.extend(_decode_rdm12(keys, v, norb) for v in vals)
+    return out
+
+
+def _decode_rdm12(keys, vals, norb):
+    """Assemble the spin-summed 1-/2-RDMs from the sorted canonical
+    operator-string expectations a sweep returns."""
 
     def slot_arr(k, u):
         return (k | (u << 1)).astype(np.int64)

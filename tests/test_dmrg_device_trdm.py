@@ -73,3 +73,29 @@ def test_device_rdm12_matches_sweep_and_strings():
     r1_d, r2_d = mps_transition_rdm12(A, B, norb, method="sweep-device")
     np.testing.assert_allclose(r1_d, r1_s, atol=1e-12)
     np.testing.assert_allclose(r2_d, r2_s, atol=1e-12)
+
+
+def test_multi_ket_sweep_matches_single():
+    """The multi-ket batched sweep (one jitted site step serving every
+    stored state — the active-learning append shape) must reproduce the
+    single-pair device sweep and the strings oracle exactly, across
+    chunk boundaries."""
+    from evcont_tpu.solvers.dmrg import (mps_transition_rdm12,
+                                         mps_transition_rdm12_multi)
+
+    norb = 4
+    # ragged bond dims across kets (the padding path must stay exact)
+    bra = _rand_mps(2 * norb, 8, 0)
+    kets = [_rand_mps(2 * norb, m, seed)
+            for m, seed in [(6, 1), (8, 2), (4, 3)]]
+    multi = mps_transition_rdm12_multi(bra, kets, norb,
+                                       method="sweep-device", chunk=2)
+    assert len(multi) == 3
+    for (r1m, r2m), ket in zip(multi, kets):
+        r1s, r2s = mps_transition_rdm12(bra, ket, norb,
+                                        method="sweep-device")
+        np.testing.assert_allclose(r1m, r1s, atol=1e-12)
+        np.testing.assert_allclose(r2m, r2s, atol=1e-12)
+        r1o, r2o = mps_transition_rdm12(bra, ket, norb, method="strings")
+        np.testing.assert_allclose(r1m, r1o, atol=1e-10)
+        np.testing.assert_allclose(r2m, r2o, atol=1e-10)
