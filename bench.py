@@ -286,7 +286,35 @@ def worker_tpu64():
     float(e2), np.asarray(f2)
     print(f"[bench] precise first {t_first:.1f} s, warm "
           f"{time.time() - t0:.2f} s/eval", file=sys.stderr)
+
+    # batched precise throughput (VERDICT r2 #2 rung): chunk-4 lax.map
+    # keeps the emulated-f64 program at the known-good footprint at any
+    # batch size. Optional — must not sink the precise values above.
+    prec_evals_per_sec, prec_batch = None, None
+    try:
+        _, batch8 = eval_geometry(8)
+        b8 = np.asarray(batch8, dtype=np.float64)
+        eb, fb = model.potential_and_forces_precise_batch(
+            b8, mode="exact", chunk=4)
+        np.array(eb)
+        times = []
+        for rep in range(3):
+            t0 = time.time()
+            eb, fb = model.potential_and_forces_precise_batch(
+                b8 * (1.0 + 1e-10 * (rep + 1)), mode="exact", chunk=4)
+            np.array(eb)
+            times.append(time.time() - t0)
+        prec_batch = len(b8)
+        prec_evals_per_sec = prec_batch / float(np.median(times))
+        print(f"[bench] precise batched: {prec_evals_per_sec:.2f} evals/s"
+              f" (batch {prec_batch}, chunk 4, exact assembly)",
+              file=sys.stderr)
+    except Exception as err:
+        print(f"[bench] precise batched rung failed: "
+              f"{type(err).__name__}: {err}", file=sys.stderr)
     print(json.dumps({"e_precise": e, "f_precise": f.ravel().tolist(),
+                      "precise_evals_per_sec": prec_evals_per_sec,
+                      "precise_batch": prec_batch,
                       "store_md5": store_hash(model.overlap)}))
 
 
@@ -412,6 +440,14 @@ def main():
         print(f"[bench]   precise:    |dE| = "
               f"{abs(r64['e_precise'] - e_ref):.3e} Ha, max|dF| = "
               f"{np.abs(f_pre - f_ref).max():.3e} Ha/Bohr", file=sys.stderr)
+        if r64.get("precise_evals_per_sec"):
+            pes = r64["precise_evals_per_sec"]
+            print(f"[bench]   precise batched (chunked, per chip): "
+                  f"{pes:.2f} evals/s = {pes * ref['cpu_eval_seconds']:.1f}x"
+                  f" CPU f64; geometry-batched PES is data-parallel, so "
+                  f"the v5e-8 north-star slice scales this 8x "
+                  f"(model.potential_and_forces_precise_sharded)",
+                  file=sys.stderr)
 
     print(f"[bench] total wall time {time.time() - t_start:.0f} s",
           file=sys.stderr)
