@@ -1,0 +1,64 @@
+"""Ozaki-scheme exact-slice GEMM vs genuine f64 (CPU backend)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from evcont_tpu.subspace.ozaki import ozaki_matmul, ozaki_contract_last
+
+pytestmark = pytest.mark.skipif(
+    not jax.config.read("jax_enable_x64"),
+    reason="requires jax_enable_x64 (set in conftest)")
+
+
+def _err(C, ref):
+    scale = np.abs(ref).max()
+    return np.abs(np.asarray(C) - ref).max() / scale
+
+
+def test_ozaki_matmul_f64_class():
+    rng = np.random.default_rng(0)
+    M, K, N = 37, 28, 53
+    # spread magnitudes over many decades per row/col (integral-pipeline
+    # like: exp(-mu AB^2) prefactors)
+    A = rng.standard_normal((M, K)) * 10.0 ** rng.uniform(-8, 2, (M, 1))
+    B = rng.standard_normal((K, N)) * 10.0 ** rng.uniform(-8, 2, (1, N))
+    ref = A @ B
+    C5 = ozaki_matmul(jnp.asarray(A), jnp.asarray(B), depth=5)
+    C6 = ozaki_matmul(jnp.asarray(A), jnp.asarray(B), depth=6)
+    assert _err(C5, ref) < 1e-11
+    assert _err(C6, ref) < 1e-13
+    # f32 for contrast: must be ~6 orders worse
+    f32 = np.asarray(A, np.float32) @ np.asarray(B, np.float32)
+    assert _err(f32, ref) > 1e-7
+
+
+def test_ozaki_matmul_jit_grad_free():
+    # must be jittable; value-only (used under stop_gradient in callers)
+    rng = np.random.default_rng(1)
+    A = jnp.asarray(rng.standard_normal((8, 16)))
+    B = jnp.asarray(rng.standard_normal((16, 4)))
+    C = jax.jit(lambda a, b: ozaki_matmul(a, b))(A, B)
+    assert _err(C, np.asarray(A) @ np.asarray(B)) < 1e-12
+
+
+def test_ozaki_contract_last_shapes():
+    rng = np.random.default_rng(2)
+    A = jnp.asarray(rng.standard_normal((3, 5, 28)))
+    B = jnp.asarray(rng.standard_normal((28, 4, 2)))
+    C = ozaki_contract_last(A, B)
+    ref = np.tensordot(np.asarray(A), np.asarray(B), axes=[[2], [0]])
+    assert C.shape == (3, 5, 4, 2)
+    assert _err(C, ref) < 1e-11
+
+
+def test_ozaki_zero_and_tiny_rows():
+    # zero rows must not produce nan scales; denormal-ish magnitudes fine
+    A = jnp.asarray(np.array([[0.0, 0.0], [1e-30, 2e-30], [1.0, -1.0]]))
+    B = jnp.asarray(np.array([[1e-20, 3.0], [2.0, 0.0]]))
+    C = np.asarray(ozaki_matmul(A, B))
+    ref = np.asarray(A) @ np.asarray(B)
+    assert np.isfinite(C).all()
+    assert np.abs(C - ref).max() <= 1e-12 * max(np.abs(ref).max(), 1e-30)

@@ -7,7 +7,11 @@ stage costs come out as successive differences (XLA fusion makes them
 approximate but directionally reliable; this reproduces the table in
 RESULTS.md "f32 eval-path profile").
 
-Run on the TPU:  python tpu_profile_eri.py [batch]
+Run on the TPU:  python tpu_profile_eri.py [batch] [--f64]
+
+--f64 runs the identical stages with f64 coords under jax_enable_x64 —
+the emulated-f64 cost map that drives the precise-mode optimization
+(which stage pays the ~100x emulation factor).
 """
 
 import itertools
@@ -30,7 +34,7 @@ def _stage_fn(eng, stage):
         stage = "contract"
 
     def fn(coords):
-        acc = jnp.float32(0.0)
+        acc = jnp.zeros((), dtype=coords.dtype)
         pairs = eng._eri_pair_data(coords)
         if stage == "pairdata":
             for d in pairs:
@@ -114,14 +118,18 @@ def _time(f, x, reps=5):
     return float(np.median(ts))
 
 
-def main(batch=32):
+def main(batch=32, f64=False):
     import jax
+    if f64:
+        jax.config.update("jax_enable_x64", True)
     from evcont_tpu.integrals.engine import IntegralEngine
 
     mol, cb = bench.eval_geometry(batch)
+    if f64:
+        cb = np.asarray(cb, dtype=np.float64)
     eng = IntegralEngine(mol)
     print(f"platform={jax.devices()[0].platform} nao={eng.nao} "
-          f"batch={batch}", flush=True)
+          f"batch={batch} dtype={cb.dtype}", flush=True)
 
     n_up = len(eng._upairs)
     n_combo = n_up * (n_up + 1) // 2
@@ -135,7 +143,9 @@ def main(batch=32):
             k += 1
 
     stages = ["pairdata", "hermiteR", "gather", "contract", "aggregate",
-              "scatter", "full"] + [f"combo:{j}" for j in range(n_combo)]
+              "scatter", "full"]
+    if not f64:   # per-combo compiles are prohibitive under emulated f64
+        stages += [f"combo:{j}" for j in range(n_combo)]
     prev = 0.0
     t_pairdata = 0.0
     for si, s in enumerate(stages):
@@ -170,4 +180,5 @@ def main(batch=32):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 32)
+    args = [a for a in sys.argv[1:] if a != "--f64"]
+    main(int(args[0]) if args else 32, f64="--f64" in sys.argv)
