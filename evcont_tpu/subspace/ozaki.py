@@ -27,6 +27,8 @@ ab_initio_eigenvector_continuation.py:38-71); this is the TPU-native way
 to match that accuracy at MXU speed.
 """
 
+from functools import partial
+
 import numpy as np
 
 import jax
@@ -88,6 +90,92 @@ def ozaki_matmul(A, B, w=None, depth=5, precision=None):
             out = out + p.astype(jnp.float64) * np.float64(
                 2.0 ** (-w * (i + j + 2)))
     return out * sa * sb
+
+
+def _slice_digits_bf16(x, scale, nslice):
+    """8-bit digits of x / scale as bf16 arrays: x = scale * sum_i d_i *
+    2^(-8(i+1)) (up to the tail), d_0 in [-256, 256], later digits in
+    [-128, 128] — all exactly representable in bf16 (8 mantissa bits)."""
+    r = x / scale
+    digits = []
+    for _ in range(nslice):
+        r = r * np.float64(256.0)
+        d = jnp.round(r)
+        r = r - d
+        digits.append(d.astype(jnp.bfloat16))
+    return digits
+
+
+def _ozaki_bf16_raw(A, B, depth):
+    """Core of ozaki_matmul_bf16 without the custom-VJP wrapper."""
+    M, K = A.shape
+    K2, N = B.shape
+    assert K == K2, (A.shape, B.shape)
+    sa = _pow2_rowmax(A, axis=1)            # (M, 1)
+    sb = _pow2_rowmax(B, axis=0)            # (1, N)
+    da = _slice_digits_bf16(A, sa, depth)
+    db = _slice_digits_bf16(B, sb, depth)
+    # K-blocking keeps every in-hardware accumulation <= 2^24 (exact in
+    # the MXU's f32 accumulator): digit products <= 2^16, 256 of them.
+    nb = -(-K // 256)
+    Kp = nb * 256
+    if nb > 1 and Kp != K:
+        da = [jnp.pad(d, ((0, 0), (0, Kp - K))) for d in da]
+        db = [jnp.pad(d, ((0, Kp - K), (0, 0))) for d in db]
+    out = jnp.zeros((M, N), dtype=jnp.float64)
+    for i in range(depth):
+        for j in range(depth):
+            if i + j >= depth:
+                continue
+            if nb == 1:
+                p = jnp.matmul(da[i], db[j],
+                               preferred_element_type=jnp.float32)
+                ps = p.astype(jnp.float64)
+            else:
+                a = da[i].reshape(M, nb, 256).transpose(1, 0, 2)
+                b = db[j].reshape(nb, 256, N)
+                p = jax.lax.dot_general(
+                    a, b, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                ps = jnp.sum(p.astype(jnp.float64), axis=0)
+            out = out + ps * np.float64(2.0 ** (-8 * (i + j + 2)))
+    return out * sa * sb
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def ozaki_matmul_bf16(A, B, depth=6, grad_depth=4):
+    """C = A @ B (f64 operands) from EXACT single-pass bf16 MXU GEMMs.
+
+    Each operand row/col is scaled to a power-of-two and sliced into
+    8-bit digits that are exact in bf16; every digit-by-digit MXU pass
+    (f32 accumulation, K blocked at 256) is then integer-exact, and the
+    only error is the dropped i+j >= depth tail: ~2^(-8*depth) relative
+    to rowmax(A)*colmax(B) — 2^-48 (f64-class) at depth 6 for
+    depth*(depth+1)/2 = 21 single-pass bf16 GEMMs, ~3.5x ONE f32
+    HIGHEST (bf16_6x) GEMM. This is the MXU path for f64-class
+    contractions on TPU; the plain-f32 variant (ozaki_matmul) needs
+    ~2x more, wider passes.
+
+    Differentiation: digit slicing is piecewise constant (round()), so
+    autodiff through the raw form would produce zero gradients; the
+    custom VJP contracts cotangents with the SAME scheme at grad_depth
+    (2^-32 at depth 4 — force-path accuracy) against the saved operands.
+    """
+    return _ozaki_bf16_raw(A, B, depth)
+
+
+def _ozaki_bf16_fwd(A, B, depth, grad_depth):
+    return _ozaki_bf16_raw(A, B, depth), (A, B)
+
+
+def _ozaki_bf16_bwd(depth, grad_depth, res, ct):
+    A, B = res
+    dA = _ozaki_bf16_raw(ct, B.T, grad_depth)
+    dB = _ozaki_bf16_raw(A.T, ct, grad_depth)
+    return dA, dB
+
+
+ozaki_matmul_bf16.defvjp(_ozaki_bf16_fwd, _ozaki_bf16_bwd)
 
 
 def ozaki_contract_last(A, B, w=None, depth=5):

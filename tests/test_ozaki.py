@@ -6,7 +6,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from evcont_tpu.subspace.ozaki import ozaki_matmul, ozaki_contract_last
+from evcont_tpu.subspace.ozaki import (ozaki_matmul, ozaki_contract_last,
+                                       ozaki_matmul_bf16)
 
 pytestmark = pytest.mark.skipif(
     not jax.config.read("jax_enable_x64"),
@@ -52,6 +53,39 @@ def test_ozaki_contract_last_shapes():
     ref = np.tensordot(np.asarray(A), np.asarray(B), axes=[[2], [0]])
     assert C.shape == (3, 5, 4, 2)
     assert _err(C, ref) < 1e-11
+
+
+def test_ozaki_bf16_f64_class_and_kblocking():
+    rng = np.random.default_rng(3)
+    # K = 700 forces the 256-block split path
+    M, K, N = 33, 700, 41
+    A = rng.standard_normal((M, K)) * 10.0 ** rng.uniform(-6, 2, (M, 1))
+    B = rng.standard_normal((K, N)) * 10.0 ** rng.uniform(-6, 2, (1, N))
+    ref = A @ B
+    C6 = jax.jit(lambda a, b: ozaki_matmul_bf16(a, b, 6))(
+        jnp.asarray(A), jnp.asarray(B))
+    assert _err(C6, ref) < 1e-12
+    C4 = ozaki_matmul_bf16(jnp.asarray(A), jnp.asarray(B), 4)
+    assert _err(C4, ref) < 1e-8
+
+
+def test_ozaki_bf16_vjp():
+    rng = np.random.default_rng(4)
+    A = rng.standard_normal((7, 30))
+    B = rng.standard_normal((30, 5))
+    W = rng.standard_normal((7, 5))
+
+    def loss(a):
+        return jnp.vdot(jnp.asarray(W), ozaki_matmul_bf16(a, jnp.asarray(B)))
+
+    g = jax.grad(loss)(jnp.asarray(A))
+    ref = W @ B.T          # d/dA of <W, A@B>
+    assert _err(g, ref) < 1e-9
+    # through vmap (the batched precise path)
+    Ab = jnp.asarray(rng.standard_normal((3, 7, 30)))
+    gb = jax.vmap(jax.grad(loss))(Ab)
+    assert gb.shape == (3, 7, 30)
+    assert _err(gb[1], ref) < 1e-9
 
 
 def test_ozaki_zero_and_tiny_rows():
