@@ -377,16 +377,32 @@ def main():
     else:
         est = cache.get("cpu_wall_s", 1800.0)
         if _remaining() < 1.3 * est:
-            raise RuntimeError(
-                f"no cached CPU baseline and only {_remaining():.0f} s of "
-                f"budget left (needs ~{est:.0f} s) — run `python bench.py` "
-                "once untimed to populate bench_cache.json")
-        t0 = time.time()
-        ref = _run_worker("cpu")
-        cache = {"fingerprint": fp, "store_md5": ref["store_md5"],
-                 "cpu": ref, "cpu_wall_s": time.time() - t0,
-                 "cpu_date": time.strftime("%Y-%m-%d")}
-        _cache_store(cache)
+            # A stale-fingerprint cache whose store bits still match is a
+            # better baseline than no headline at all (the round-2 rc=124
+            # lesson): emit the metric with the stale reference + warning
+            # rather than sinking the whole run.
+            stale = cache.get("cpu")
+            if stale is not None and (cache.get("store_md5")
+                                      == r32["store_md5"]):
+                print("[bench] WARNING: pipeline fingerprint changed and "
+                      f"only {_remaining():.0f} s of budget remain "
+                      f"(recompute needs ~{est:.0f} s) — serving the STALE "
+                      f"CPU baseline from {cache.get('cpu_date', '?')}; "
+                      "run `python bench.py` untimed to refresh",
+                      file=sys.stderr)
+                ref = stale
+            else:
+                raise RuntimeError(
+                    f"no cached CPU baseline and only {_remaining():.0f} s "
+                    f"of budget left (needs ~{est:.0f} s) — run `python "
+                    "bench.py` once untimed to populate bench_cache.json")
+        else:
+            t0 = time.time()
+            ref = _run_worker("cpu")
+            cache = {"fingerprint": fp, "store_md5": ref["store_md5"],
+                     "cpu": ref, "cpu_wall_s": time.time() - t0,
+                     "cpu_date": time.strftime("%Y-%m-%d")}
+            _cache_store(cache)
 
     r64 = cache.get("tpu64") if valid else None
     if r64 is not None:
