@@ -588,8 +588,12 @@ def oao_integrals(engine, coords, refine_loewdin=False):
         else loewdin_trafo(S_ao)
     h1 = trafo.T @ engine.hcore(coords) @ trafo
     h2 = engine.eri(coords)
+    ein = engine._f64_ein(h2.dtype)
     for _ in range(4):
-        h2 = jnp.tensordot(h2, trafo, axes=[[0], [0]])
+        if ein is jnp.einsum:
+            h2 = jnp.tensordot(h2, trafo, axes=[[0], [0]])
+        else:
+            h2 = ein("abcd,ax->bcdx", h2, trafo)
     return h1, h2, engine.energy_nuc(coords)
 
 

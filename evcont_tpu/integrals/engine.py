@@ -109,7 +109,7 @@ def _conv_onehot(nb, nk, L):
     return onehot
 
 
-def _quartet_contract(Rd_flat, E3b, E3k, onehot, nb3, nk3):
+def _quartet_contract(Rd_flat, E3b, E3k, onehot, nb3, nk3, ein=jnp.einsum):
     """Angular contraction block[a,b,i,j] = sum_{t,u} E3b[a,i,t] E3k[b,j,u]
     M[a,b,t,u] with M = Rd_flat @ onehot (the Hermite t+u convolution).
 
@@ -130,20 +130,34 @@ def _quartet_contract(Rd_flat, E3b, E3k, onehot, nb3, nk3):
                 * E3b[:, None, :, 0, None] * E3k[None, :, None, :, 0])
     W1 = jnp.asarray(onehot, dtype=Rd_flat.dtype)
     if nb3 == 1:
-        M = jnp.einsum("abs,so->abo", Rd_flat, W1)
+        M = ein("abs,so->abo", Rd_flat, W1)
         M = M.reshape(n1, n2, nb3, nk3)
-        return jnp.einsum("ait,abtu,bju->abij", E3b, M, E3k)
+        if ein is jnp.einsum:   # keep the measured-optimal fused form
+            return jnp.einsum("ait,abtu,bju->abij", E3b, M, E3k)
+        T1 = ein("abtu,bju->abtj", M, E3k)
+        return ein("ait,abtj->abij", E3b, T1)
     if n1 * n2 <= 4096 or nk3 <= nb3:
-        W = jnp.einsum("ait,sto->aiso", E3b, W1.reshape(s, nb3, nk3))
-        T1 = jnp.einsum("aiso,abs->abio", W, Rd_flat)
-        return jnp.einsum("abio,bjo->abij", T1, E3k)
-    M = jnp.einsum("abs,so->abo", Rd_flat, W1).reshape(n1, n2, nb3, nk3)
-    T1 = jnp.einsum("abtu,bju->abtj", M, E3k)
-    return jnp.einsum("ait,abtj->abij", E3b, T1)
+        W = ein("ait,sto->aiso", E3b, W1.reshape(s, nb3, nk3))
+        T1 = ein("aiso,abs->abio", W, Rd_flat)
+        return ein("abio,bjo->abij", T1, E3k)
+    M = ein("abs,so->abo", Rd_flat, W1).reshape(n1, n2, nb3, nk3)
+    T1 = ein("abtu,bju->abtj", M, E3k)
+    return ein("ait,abtj->abij", E3b, T1)
 
 
 class IntegralEngine:
-    def __init__(self, mol: Molecule):
+    # class-level default so engines restored from older pickles keep the
+    # emulated-f64 behavior they were built with
+    f64_contract = "emulated"
+
+    def __init__(self, mol: Molecule, f64_contract="emulated"):
+        # f64_contract picks the kernel for the heavy contractions when
+        # the pipeline runs at f64 (the precise mode): "emulated" keeps
+        # XLA's software-f64 dots (off-MXU); "ozaki" routes them through
+        # exact bf16-digit MXU passes (subspace/ozaki.py) at f64-class
+        # accuracy — the precise-throughput path. f32 runs are unaffected.
+        assert f64_contract in ("emulated", "ozaki"), f64_contract
+        self.f64_contract = f64_contract
         self.mol = mol
         self.structure = build_shell_structure(mol)
         # internal (cartesian) AO layout used by the scatter kernels
@@ -162,6 +176,20 @@ class IntegralEngine:
             self._sph_q = None
             self.nao = self._nao_cart
 
+    def _f64_ein(self, dtype):
+        """The two-operand contraction kernel for this dtype: plain
+        jnp.einsum, or the exact bf16-digit MXU path for f64 inputs when
+        f64_contract == "ozaki" (operands are cast up — the static 0/1
+        aggregation tables are stored f32)."""
+        if self.f64_contract == "ozaki" and dtype == jnp.float64:
+            from ..subspace.ozaki import ozaki_einsum
+
+            def ein(spec, a, b):
+                return ozaki_einsum(spec, a.astype(jnp.float64),
+                                    b.astype(jnp.float64))
+            return ein
+        return jnp.einsum
+
     def _to_sph2(self, M):
         if self._sph_q is None:
             return M
@@ -172,8 +200,12 @@ class IntegralEngine:
         if self._sph_q is None:
             return G
         Q = jnp.asarray(self._sph_q)
+        ein = self._f64_ein(G.dtype)
         for _ in range(4):
-            G = jnp.tensordot(G, Q, axes=[[0], [0]])
+            if ein is jnp.einsum:
+                G = jnp.tensordot(G, Q, axes=[[0], [0]])
+            else:
+                G = ein("abcd,ax->bcdx", G, Q)
         return G
 
     # ------------------------------------------------------------------
@@ -452,6 +484,7 @@ class IntegralEngine:
         coefficients."""
         nao = self._nao_cart
         pairs = self._eri_pair_data(coords)
+        ein = self._f64_ein(coords.dtype)
         out = None
         for bi, bra in enumerate(pairs):
             for ket in pairs[bi:]:
@@ -487,13 +520,18 @@ class IntegralEngine:
                     pref = pref * 0.5
                 block = _quartet_contract(
                     Rd.reshape(n1, n2, -1), bra["E3"], E3k,
-                    _conv_onehot(bra["L"] + 1, ket["L"] + 1, L), nb3, nk3)
+                    _conv_onehot(bra["L"] + 1, ket["L"] + 1, L), nb3, nk3,
+                    ein=ein)
                 block = block * pref[:, :, None, None]
                 # contract primitives -> contracted shell pairs (two small
                 # static GEMMs) so the scatter below touches only the
                 # contracted elements, not every primitive instance
-                block = jnp.einsum("Aa,abij,Bb->ABij",
-                                   bra["agg"], block, ket["agg"])
+                if ein is jnp.einsum:
+                    block = jnp.einsum("Aa,abij,Bb->ABij",
+                                       bra["agg"], block, ket["agg"])
+                else:
+                    block = ein("Aa,abij->Abij", bra["agg"], block)
+                    block = ein("Abij,Bb->ABij", block, ket["agg"])
 
                 # flat nao^4 index from the two small AO-pair offset tables,
                 # broadcast on device (host-side broadcasting would embed a
@@ -538,10 +576,11 @@ class IntegralEngine:
     def __hash__(self):
         # static structure is fully determined by the molecule identity
         return hash((self.mol.symbols, self.mol.basis, self.mol.charge,
-                     self.mol.spin))
+                     self.mol.spin, self.f64_contract))
 
     def __eq__(self, other):
         return (isinstance(other, IntegralEngine)
+                and self.f64_contract == other.f64_contract
                 and self.mol.symbols == other.mol.symbols
                 and self.mol.basis == other.mol.basis
                 and self.mol.charge == other.mol.charge

@@ -178,6 +178,113 @@ def _ozaki_bf16_bwd(depth, grad_depth, res, ct):
 ozaki_matmul_bf16.defvjp(_ozaki_bf16_fwd, _ozaki_bf16_bwd)
 
 
+def _ozaki_bf16_batched(A, B, depth):
+    """C[b] = A[b] @ B[b] (f64) from exact bf16 digit passes, K-blocked.
+
+    A: (bt, M, K) f64, B: (bt, K, N) f64. Per-row/col power-of-two
+    scaling as in _ozaki_bf16_raw; every digit-product accumulation runs
+    over at most 256 terms (exact in the f32 accumulator), the 256-blocks
+    are then summed in f64."""
+    bt, M, K = A.shape
+    bt2, K2, N = B.shape
+    assert bt == bt2 and K == K2, (A.shape, B.shape)
+    sa = _pow2_rowmax(A, axis=2)            # (bt, M, 1)
+    sb = _pow2_rowmax(B, axis=1)            # (bt, 1, N)
+    da = _slice_digits_bf16(A, sa, depth)
+    db = _slice_digits_bf16(B, sb, depth)
+    nb = -(-K // 256)
+    Kp = nb * 256
+    if Kp != K:
+        da = [jnp.pad(d, ((0, 0), (0, 0), (0, Kp - K))) for d in da]
+        db = [jnp.pad(d, ((0, 0), (0, Kp - K), (0, 0))) for d in db]
+    out = jnp.zeros((bt, M, N), dtype=jnp.float64)
+    for i in range(depth):
+        for j in range(depth - i):
+            if nb == 1:
+                p = jax.lax.dot_general(
+                    da[i], db[j], (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                ps = p.astype(jnp.float64)
+            else:
+                a = (da[i].reshape(bt, M, nb, 256)
+                     .transpose(0, 2, 1, 3))           # (bt, nb, M, 256)
+                b = db[j].reshape(bt, nb, 256, N)
+                p = jax.lax.dot_general(
+                    a, b, (((3,), (2,)), ((0, 1), (0, 1))),
+                    preferred_element_type=jnp.float32)
+                ps = jnp.sum(p.astype(jnp.float64), axis=1)
+            out = out + ps * np.float64(2.0 ** (-8 * (i + j + 2)))
+    return out * sa * sb
+
+
+def _parse_einsum2(spec, A, B):
+    """Decompose a two-operand einsum spec (no repeated indices within an
+    operand) into batch / contracted / free index groups."""
+    ins, out = spec.split("->")
+    xs, ys = ins.split(",")
+    assert len(set(xs)) == len(xs) and len(set(ys)) == len(ys), spec
+    batch = [c for c in xs if c in ys and c in out]
+    contr = [c for c in xs if c in ys and c not in out]
+    fa = [c for c in xs if c not in ys]
+    fb = [c for c in ys if c not in xs]
+    assert set(fa) <= set(out) and set(fb) <= set(out), \
+        f"{spec}: free index summed out (not expressible as a GEMM)"
+    assert set(out) == set(batch) | set(fa) | set(fb), spec
+    dims = {c: A.shape[xs.index(c)] for c in xs}
+    dims.update({c: B.shape[ys.index(c)] for c in ys})
+    return xs, ys, out, batch, contr, fa, fb, dims
+
+
+def _ozaki_einsum_raw(spec, A, B, depth):
+    """einsum(spec, A, B) (two f64 operands) through the exact bf16-digit
+    GEMM core: operands are transposed/reshaped to a batched matmul,
+    contracted with _ozaki_bf16_batched, and reshaped back."""
+    xs, ys, out, batch, contr, fa, fb, dims = _parse_einsum2(spec, A, B)
+    pr = lambda idx: int(np.prod([dims[c] for c in idx])) if idx else 1
+    bt, M, K, N = pr(batch), pr(fa), pr(contr), pr(fb)
+    At = jnp.transpose(A, [xs.index(c) for c in batch + fa + contr])
+    Bt = jnp.transpose(B, [ys.index(c) for c in batch + contr + fb])
+    C = _ozaki_bf16_batched(At.reshape(bt, M, K), Bt.reshape(bt, K, N),
+                            depth)
+    C = C.reshape([dims[c] for c in batch + fa + fb])
+    order = batch + fa + fb
+    return jnp.transpose(C, [order.index(c) for c in out])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4))
+def ozaki_einsum(spec, A, B, depth=6, grad_depth=5):
+    """Two-operand einsum on f64 operands at f64-class accuracy from
+    exact single-pass bf16 MXU GEMMs (see ozaki_matmul_bf16) — the drop-in
+    for the emulated-f64 contractions that dominate the precise-mode
+    integral pipeline (tpu_precise_breakdown.py). Error ~2^(-8*depth)
+    relative to per-row operand maxima. The custom VJP contracts
+    cotangents with the same scheme at grad_depth via the adjoint specs
+    (K-blocking keeps the digit accumulations exact at any contraction
+    size, so gradients hold f64-class accuracy too)."""
+    return _ozaki_einsum_raw(spec, A, B, depth)
+
+
+def _adjoint_specs(spec):
+    ins, out = spec.split("->")
+    xs, ys = ins.split(",")
+    return f"{out},{ys}->{xs}", f"{xs},{out}->{ys}"
+
+
+def _oz_ein_fwd(spec, A, B, depth, grad_depth):
+    return _ozaki_einsum_raw(spec, A, B, depth), (A, B)
+
+
+def _oz_ein_bwd(spec, depth, grad_depth, res, ct):
+    A, B = res
+    spec_a, spec_b = _adjoint_specs(spec)
+    dA = _ozaki_einsum_raw(spec_a, ct, B, grad_depth)
+    dB = _ozaki_einsum_raw(spec_b, A, ct, grad_depth)
+    return dA, dB
+
+
+ozaki_einsum.defvjp(_oz_ein_fwd, _oz_ein_bwd)
+
+
 def ozaki_contract_last(A, B, w=None, depth=5):
     """y[..., :] = A[..., k] contracted with B[k, ...]: reshapes to a
     single (M, K) @ (K, N) ozaki_matmul. A: (..., K) f64, B: (K, ...)

@@ -96,3 +96,86 @@ def test_ozaki_zero_and_tiny_rows():
     ref = np.asarray(A) @ np.asarray(B)
     assert np.isfinite(C).all()
     assert np.abs(C - ref).max() <= 1e-12 * max(np.abs(ref).max(), 1e-30)
+
+
+def test_ozaki_einsum_specs_and_blocking():
+    from evcont_tpu.subspace.ozaki import ozaki_einsum
+    rng = np.random.default_rng(5)
+    cases = [
+        ("abs,so->abo", (6, 7, 27), (27, 9)),          # quartet conv GEMM
+        ("abtu,bju->abtj", (5, 6, 4, 27), (6, 3, 27)),  # batched ket step
+        ("ait,abtj->abij", (5, 4, 8), (5, 6, 8, 3)),    # batched bra step
+        ("Aa,abij->Abij", (4, 11), (11, 5, 3, 2)),      # aggregation
+        ("abcd,ax->bcdx", (6, 5, 4, 3), (6, 6)),        # 4-index transform
+        ("ab,bc->ac", (9, 700), (700, 8)),              # K > 256 blocking
+        ("abs,abo->so", (40, 50, 6), (40, 50, 7)),      # adjoint: K = a*b
+    ]
+    for spec, sa, sb in cases:
+        A = rng.standard_normal(sa) * 10.0 ** rng.uniform(-4, 2, sa)
+        B = rng.standard_normal(sb) * 10.0 ** rng.uniform(-4, 2, sb)
+        ref = np.einsum(spec, A, B)
+        C = ozaki_einsum(spec, jnp.asarray(A), jnp.asarray(B))
+        assert _err(C, ref) < 1e-12, spec
+
+
+def test_ozaki_einsum_vjp():
+    from evcont_tpu.subspace.ozaki import ozaki_einsum
+    rng = np.random.default_rng(6)
+    spec = "ait,abtj->abij"
+    A = rng.standard_normal((4, 3, 5))
+    B = rng.standard_normal((4, 6, 5, 2))
+    W = rng.standard_normal((4, 6, 3, 2))
+
+    def loss_oz(a, b):
+        return jnp.vdot(jnp.asarray(W), ozaki_einsum(spec, a, b))
+
+    def loss_ref(a, b):
+        return jnp.vdot(jnp.asarray(W), jnp.einsum(spec, a, b))
+
+    ga, gb = jax.grad(loss_oz, argnums=(0, 1))(jnp.asarray(A),
+                                               jnp.asarray(B))
+    ra, rb = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(A),
+                                                jnp.asarray(B))
+    assert _err(ga, np.asarray(ra)) < 1e-9
+    assert _err(gb, np.asarray(rb)) < 1e-9
+
+
+def test_engine_ozaki_f64_contract_mode():
+    """eri/oao_integrals with f64_contract="ozaki" match the emulated-f64
+    default to f64-class accuracy, including the force pullback."""
+    from evcont_tpu.molecule import Molecule
+    from evcont_tpu.integrals.engine import IntegralEngine
+    from evcont_tpu.continuation import oao_integrals
+
+    atoms = [("H", (0.0, 0.0, 0.0)), ("H", (0.0, 0.0, 1.5)),
+             ("H", (0.0, 1.4, 0.2)), ("H", (0.0, 1.5, 1.9))]
+    mol = Molecule.build(atoms, basis="sto-6g")
+    eng = IntegralEngine(mol)
+    eng_oz = IntegralEngine(mol, f64_contract="ozaki")
+    coords = jnp.asarray(np.asarray([a[1] for a in atoms],
+                                    dtype=np.float64))
+
+    g_ref = np.asarray(eng.eri(coords))
+    g_oz = np.asarray(eng_oz.eri(coords))
+    assert np.abs(g_oz - g_ref).max() < 1e-11
+
+    h1r, h2r, _ = oao_integrals(eng, coords, refine_loewdin=True)
+    h1o, h2o, _ = oao_integrals(eng_oz, coords, refine_loewdin=True)
+    assert np.abs(np.asarray(h1o) - np.asarray(h1r)).max() < 1e-11
+    assert np.abs(np.asarray(h2o) - np.asarray(h2r)).max() < 1e-10
+
+    # force path: gradient of a fixed linear functional of (h1, h2)
+    rng = np.random.default_rng(7)
+    w1 = jnp.asarray(rng.standard_normal(h1r.shape))
+    w2 = jnp.asarray(rng.standard_normal(h2r.shape) * 1e-2)
+
+    def scalar(e):
+        def fn(c):
+            h1, h2, enuc = oao_integrals(e, c, refine_loewdin=True)
+            return jnp.vdot(w1, h1) + jnp.vdot(w2, h2) + enuc
+        return fn
+
+    v_ref, g_ref = jax.value_and_grad(scalar(eng))(coords)
+    v_oz, g_ozk = jax.value_and_grad(scalar(eng_oz))(coords)
+    assert abs(float(v_oz) - float(v_ref)) < 1e-10
+    assert np.abs(np.asarray(g_ozk) - np.asarray(g_ref)).max() < 1e-8
