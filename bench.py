@@ -43,6 +43,17 @@ Process structure: each hardware context (TPU f32, TPU x64, CPU f64) runs
 in its own subprocess — the jax x64 flag is global per process, and the
 axon TPU is exclusive per process. Prints ONE JSON line:
 {"metric", "value", "unit", "vs_baseline"}.
+
+Run modes:
+  python bench.py            the driver path — tpu32 worker only, headline
+                             JSON printed the moment it returns; all other
+                             rungs served from bench_cache.json (stale =>
+                             warning, never recompute)
+  python bench.py --refresh [cpu] [tpu64] [--reanchor]
+                             untimed builder action: recompute the
+                             deterministic rungs under the pinned protocol
+                             (cpu: idle host, median of 5 reps, loadavg
+                             recorded) and rewrite the per-rung cache
 """
 
 import hashlib
@@ -61,14 +72,21 @@ SEED = 0
 
 # The CPU-f64 reference and the emulated-f64 precise rung are fully
 # deterministic given (store bits, pipeline source): their values are
-# cached on disk and reused across driver rounds so the required wall
-# time of a bench run is ~the tpu32 worker alone (round 2 lesson: the
-# 3-worker serial run blew the driver budget, rc=124, and the round's
-# headline metric was lost). BENCH_BUDGET_S caps how much wall time the
-# optional rungs may spend recomputing on a cache miss.
+# cached on disk and SERVED, never recomputed, by the default run. The
+# default `python bench.py` therefore costs exactly one tpu32 worker and
+# prints the headline JSON the moment that worker returns — a driver
+# kill at ANY later point cannot lose the round's metric (rounds 2 and 3
+# both died rc=124 inside optional-rung recomputes; this structure makes
+# that class of failure impossible). Refreshing the deterministic rungs
+# is an explicit, untimed builder action: `python bench.py --refresh`.
 CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "bench_cache.json")
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+
+# Last-resort CPU-f64 baseline (s/eval) if bench_cache.json is missing
+# entirely: the 2026-08-20 protocol run on this host (idle, single core;
+# BENCH_r03.json tail, reps [2.68, 3.37, 2.75]). Only used — with a loud
+# warning — when there is no cache at all; vs_baseline stays defined.
+FALLBACK_CPU_S = 2.75
 
 
 def _pipeline_fingerprint():
@@ -78,7 +96,8 @@ def _pipeline_fingerprint():
                         "evcont_tpu")
     files = ["model.py", "continuation.py", "oao.py", "molecule.py",
              "basis_data.py",
-             os.path.join("subspace", "compensated.py")]
+             os.path.join("subspace", "compensated.py"),
+             os.path.join("subspace", "ozaki.py")]
     files += sorted(
         os.path.join("integrals", f)
         for f in os.listdir(os.path.join(root, "integrals"))
@@ -168,7 +187,8 @@ def eval_geometry(batch_size=1):
     return mol, batch
 
 
-def _build_model(overlap_f64=False, store_f64=False):
+def _build_model(overlap_f64=False, store_f64=False,
+                 f64_contract="emulated"):
     from evcont_tpu.model import ContinuationModel
     from evcont_tpu.integrals.engine import IntegralEngine
 
@@ -186,7 +206,8 @@ def _build_model(overlap_f64=False, store_f64=False):
     # is declared RFP-native: no 4-GiB conversion copy on device, and the
     # CPU-f64 reference interprets the identical bits the same way
     return ContinuationModel(mol, ov, r1, r2,
-                             packed_layout="rfp-native"), batch, nao
+                             packed_layout="rfp-native",
+                             f64_contract=f64_contract), batch, nao
 
 
 def worker_tpu32():
@@ -271,7 +292,10 @@ def worker_tpu32():
 
 
 def worker_tpu64():
-    """Full-precision rung: emulated-f64 integrals + exact f32 assembly."""
+    """Full-precision rungs: emulated-f64 integrals (accuracy anchor) and
+    the Ozaki bf16-digit MXU engine (the precise-throughput path,
+    VERDICT r3 #2 — one rung demonstrating the whole north star:
+    >= 50x CPU f64 at <= 1e-8 Ha)."""
     import jax
     jax.config.update("jax_enable_x64", True)
     model, batch, _ = _build_model(overlap_f64=True)
@@ -287,57 +311,92 @@ def worker_tpu64():
     print(f"[bench] precise first {t_first:.1f} s, warm "
           f"{time.time() - t0:.2f} s/eval", file=sys.stderr)
 
-    # batched precise throughput (VERDICT r2 #2 rung): chunk-4 lax.map
-    # keeps the emulated-f64 program at the known-good footprint at any
-    # batch size. Optional — must not sink the precise values above.
-    prec_evals_per_sec, prec_batch = None, None
+    out = {"e_precise": e, "f_precise": f.ravel().tolist(),
+           "store_md5": store_hash(model.overlap)}
+
+    # Ozaki-engine precise rungs: same precise pipeline with the f64
+    # contractions on exact bf16-digit MXU passes (subspace/ozaki.py).
+    # Optional — must not sink the anchor values above.
     try:
+        model_oz, _, _ = _build_model(overlap_f64=True,
+                                      f64_contract="ozaki")
+        t0 = time.time()
+        eo, fo = model_oz.potential_and_forces_precise(c)
+        eo = float(eo)
+        fo = np.asarray(fo)
+        t_first = time.time() - t0
+        t0 = time.time()
+        eo2, fo2 = model_oz.potential_and_forces_precise(c * (1.0 + 1e-10))
+        float(eo2), np.asarray(fo2)
+        t_oz = time.time() - t0
+        print(f"[bench] precise/ozaki first {t_first:.1f} s, warm "
+              f"{t_oz:.2f} s/eval; |dE vs emulated| = {abs(eo - e):.2e} Ha",
+              file=sys.stderr)
+        out.update(e_ozaki=eo, f_ozaki=fo.ravel().tolist(),
+                   ozaki_eval_seconds=t_oz)
+
+        # the north-star rung: batched precise throughput on the Ozaki
+        # engine, exact (error-free) store assembly, chunk-4 lax.map
         _, batch8 = eval_geometry(8)
         b8 = np.asarray(batch8, dtype=np.float64)
-        eb, fb = model.potential_and_forces_precise_batch(
+        eb, fb = model_oz.potential_and_forces_precise_batch(
             b8, mode="exact", chunk=4)
         np.array(eb)
         times = []
         for rep in range(3):
             t0 = time.time()
-            eb, fb = model.potential_and_forces_precise_batch(
+            eb, fb = model_oz.potential_and_forces_precise_batch(
                 b8 * (1.0 + 1e-10 * (rep + 1)), mode="exact", chunk=4)
             np.array(eb)
             times.append(time.time() - t0)
-        prec_batch = len(b8)
-        prec_evals_per_sec = prec_batch / float(np.median(times))
-        print(f"[bench] precise batched: {prec_evals_per_sec:.2f} evals/s"
-              f" (batch {prec_batch}, chunk 4, exact assembly)",
+        out["precise_batch"] = len(b8)
+        out["precise_evals_per_sec"] = len(b8) / float(np.median(times))
+        print(f"[bench] precise batched (ozaki engine): "
+              f"{out['precise_evals_per_sec']:.2f} evals/s "
+              f"(batch {len(b8)}, chunk 4, exact assembly)",
               file=sys.stderr)
     except Exception as err:
-        print(f"[bench] precise batched rung failed: "
+        print(f"[bench] ozaki precise rung failed: "
               f"{type(err).__name__}: {err}", file=sys.stderr)
-    print(json.dumps({"e_precise": e, "f_precise": f.ravel().tolist(),
-                      "precise_evals_per_sec": prec_evals_per_sec,
-                      "precise_batch": prec_batch,
-                      "store_md5": store_hash(model.overlap)}))
+        out.setdefault("precise_evals_per_sec", None)
+        out.setdefault("precise_batch", None)
+    print(json.dumps(out))
 
 
 def worker_cpu():
     """CPU-f64 single-core reference (throughput baseline + numerics
-    anchor): the identical model at the identical geometry."""
+    anchor): the identical model at the identical geometry.
+
+    Measurement protocol (VERDICT r3 #3 — the 112x/866x/541x swing across
+    rounds was host contention, not performance): median over 5 reps,
+    load average recorded before and after, and a loud warning when the
+    host was not idle at start (the measurement should be rerun)."""
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    load_before = os.getloadavg()
+    if load_before[0] > 0.5:
+        print(f"[bench] WARNING: 1-min loadavg {load_before[0]:.2f} > 0.5 "
+              "at CPU-baseline start — timings may be contended; rerun "
+              "--refresh on an idle host", file=sys.stderr)
     model, batch, _ = _build_model(overlap_f64=True, store_f64=True)
     c = np.asarray(batch[0], dtype=np.float64)
     e, f = model.potential_and_forces(c)   # compile + warm
     e = float(e)
     f = np.asarray(f)
     times = []
-    for rep in range(3):
+    for rep in range(5):
         t0 = time.time()
         e2, f2 = model.potential_and_forces(c * (1.0 + 1e-9 * (rep + 1)))
         float(e2), np.asarray(f2)
         times.append(time.time() - t0)
-    print(f"[bench] cpu rep times={[round(t, 2) for t in times]} s",
+    print(f"[bench] cpu rep times={[round(t, 2) for t in times]} s, "
+          f"loadavg before={load_before} after={os.getloadavg()}",
           file=sys.stderr)
     print(json.dumps({"cpu_eval_seconds": float(np.median(times)),
+                      "cpu_rep_times": times,
+                      "loadavg_before": list(load_before),
+                      "loadavg_after": list(os.getloadavg()),
                       "energy": e, "forces": f.ravel().tolist(),
                       "store_md5": store_hash(model.overlap)}))
 
@@ -353,131 +412,159 @@ def _run_worker(name, timeout=7200):
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
+def _migrate_cache(cache):
+    """Old cache schema kept one global fingerprint for all rungs; the
+    per-rung schema records which source state each rung was computed at,
+    so a stale rung can never be silently blessed by a later refresh of a
+    different rung (ADVICE r3, medium)."""
+    glob_fp = cache.get("fingerprint")
+    glob_md5 = cache.get("store_md5")
+    for rung in ("cpu", "tpu64"):
+        if cache.get(rung) is not None:
+            cache.setdefault(f"{rung}_fingerprint", glob_fp)
+            cache.setdefault(f"{rung}_store_md5",
+                             cache[rung].get("store_md5", glob_md5))
+    return cache
+
+
+def _rung(cache, name, fp, store_md5):
+    """(entry, status) for a cached rung: status is "fresh", "stale"
+    (source fingerprint or store bits changed since it was computed), or
+    None when absent."""
+    entry = cache.get(name)
+    if entry is None:
+        return None, None
+    ok = (cache.get(f"{name}_fingerprint") == fp
+          and cache.get(f"{name}_store_md5") == store_md5)
+    return entry, ("fresh" if ok else "stale")
+
+
+def refresh(rungs=("cpu", "tpu64")):
+    """Recompute the deterministic rungs and rewrite the cache — the
+    explicit, untimed builder action (never done by the default run)."""
+    fp = _pipeline_fingerprint()
+    cache = _migrate_cache(_cache_load())
+    for name in rungs:
+        t0 = time.time()
+        entry = _run_worker(name)
+        cache[name] = entry
+        cache[f"{name}_fingerprint"] = fp
+        cache[f"{name}_store_md5"] = entry["store_md5"]
+        cache[f"{name}_wall_s"] = time.time() - t0
+        cache[f"{name}_date"] = time.strftime("%Y-%m-%d")
+        if name == "cpu":
+            # the anchored cross-round baseline: pinned at the first
+            # protocol-conformant measurement, NOT silently re-anchored
+            # (vs_baseline must stay comparable across driver rounds);
+            # pass --reanchor to move it deliberately.
+            if ("cpu_anchor_s" not in cache
+                    or "--reanchor" in sys.argv):
+                cache["cpu_anchor_s"] = entry["cpu_eval_seconds"]
+                cache["cpu_anchor_date"] = time.strftime("%Y-%m-%d")
+        _cache_store(cache)
+        print(f"[bench] refreshed rung {name} "
+              f"({cache[f'{name}_wall_s']:.0f} s)", file=sys.stderr)
+
+
 def main():
     t_start = time.time()
     r32 = _run_worker("tpu32")
 
-    # Deterministic rungs: serve from the committed cache when the store
-    # bits and the numerics-relevant sources are unchanged; recompute
-    # (and refresh the cache) only when the remaining budget allows.
     fp = _pipeline_fingerprint()
-    cache = _cache_load()
-    valid = (cache.get("fingerprint") == fp
-             and cache.get("store_md5") == r32["store_md5"])
+    cache = _migrate_cache(_cache_load())
+    ref, cpu_status = _rung(cache, "cpu", fp, r32["store_md5"])
 
-    def _remaining():
-        return BUDGET_S - (time.time() - t_start)
-
-    ref = cache.get("cpu") if valid else None
+    # vs_baseline uses the ANCHORED CPU s/eval (pinned once under the
+    # idle-host 5-rep protocol) so the multiplier is comparable across
+    # rounds; the live cached measurement + its variance go to stderr.
     if ref is not None:
-        print(f"[bench] CPU-f64 baseline served from cache "
-              f"(computed {cache.get('cpu_date', '?')}, "
-              f"{cache.get('cpu_wall_s', 0):.0f} s to recompute)",
-              file=sys.stderr)
+        anchor_s = cache.get("cpu_anchor_s", ref["cpu_eval_seconds"])
     else:
-        est = cache.get("cpu_wall_s", 1800.0)
-        if _remaining() < 1.3 * est:
-            # A stale-fingerprint cache whose store bits still match is a
-            # better baseline than no headline at all (the round-2 rc=124
-            # lesson): emit the metric with the stale reference + warning
-            # rather than sinking the whole run.
-            stale = cache.get("cpu")
-            if stale is not None and (cache.get("store_md5")
-                                      == r32["store_md5"]):
-                print("[bench] WARNING: pipeline fingerprint changed and "
-                      f"only {_remaining():.0f} s of budget remain "
-                      f"(recompute needs ~{est:.0f} s) — serving the STALE "
-                      f"CPU baseline from {cache.get('cpu_date', '?')}; "
-                      "run `python bench.py` untimed to refresh",
-                      file=sys.stderr)
-                ref = stale
-            else:
-                raise RuntimeError(
-                    f"no cached CPU baseline and only {_remaining():.0f} s "
-                    f"of budget left (needs ~{est:.0f} s) — run `python "
-                    "bench.py` once untimed to populate bench_cache.json")
-        else:
-            t0 = time.time()
-            ref = _run_worker("cpu")
-            cache = {"fingerprint": fp, "store_md5": ref["store_md5"],
-                     "cpu": ref, "cpu_wall_s": time.time() - t0,
-                     "cpu_date": time.strftime("%Y-%m-%d")}
-            _cache_store(cache)
+        anchor_s = FALLBACK_CPU_S
+        print("[bench] WARNING: no cached CPU baseline at all — using the "
+              f"recorded fallback {FALLBACK_CPU_S} s/eval; run `python "
+              "bench.py --refresh` untimed to measure one", file=sys.stderr)
 
-    r64 = cache.get("tpu64") if valid else None
-    if r64 is not None:
-        print("[bench] precise rung served from cache "
-              f"(computed {cache.get('tpu64_date', '?')})", file=sys.stderr)
-    else:
-        est = cache.get("tpu64_wall_s", 1200.0)
-        if _remaining() < 1.3 * est:
-            print(f"[bench] skipping precise rung: {_remaining():.0f} s "
-                  f"budget left < 1.3x estimated {est:.0f} s "
-                  "(cached values absent; run untimed to populate)",
-                  file=sys.stderr)
-        else:
-            try:
-                t0 = time.time()
-                r64 = _run_worker("tpu64")
-                cache.update(tpu64=r64, tpu64_wall_s=time.time() - t0,
-                             tpu64_date=time.strftime("%Y-%m-%d"),
-                             fingerprint=fp, store_md5=r64["store_md5"])
-                _cache_store(cache)
-            except Exception as err:   # must not sink the benchmark
-                print(f"[bench] precise rung failed: {err}", file=sys.stderr)
-                r64 = None
-
-    hashes = {r.get("store_md5") for r in (r32, r64, ref)
-              if r is not None}
-    if len(hashes) != 1:
-        print(f"[bench] WARNING: store hashes differ across processes "
-              f"({hashes}) — the numerics ladder is not comparing "
-              "identical models", file=sys.stderr)
-
-    cpu_evals_per_sec = 1.0 / ref["cpu_eval_seconds"]
-    e_ref = ref["energy"]
-    f_ref = np.array(ref["forces"])
-    f_f32 = np.array(r32["f_f32"])
-
-    print(f"[bench] CPU f64: {ref['cpu_eval_seconds']:.2f} s/eval "
-          f"({cpu_evals_per_sec:.4f} evals/s)", file=sys.stderr)
-    if r32.get("md_steps_per_sec"):
-        print(f"[bench] MD steps/sec (100-step on-device NVE scan): "
-              f"{r32['md_steps_per_sec']:.1f}", file=sys.stderr)
-    print(f"[bench] precision ladder vs CPU f64 at ntrain={NTRAIN}:",
-          file=sys.stderr)
-    print(f"[bench]   f32:        |dE| = {abs(r32['e_f32'] - e_ref):.3e} Ha"
-          f", max|dF| = {np.abs(f_f32 - f_ref).max():.3e} Ha/Bohr",
-          file=sys.stderr)
-    print(f"[bench]   exact asm:  |dE| = {abs(r32['e_comp'] - e_ref):.3e}"
-          " Ha", file=sys.stderr)
-    if r64 is not None:
-        f_pre = np.array(r64["f_precise"])
-        print(f"[bench]   precise:    |dE| = "
-              f"{abs(r64['e_precise'] - e_ref):.3e} Ha, max|dF| = "
-              f"{np.abs(f_pre - f_ref).max():.3e} Ha/Bohr", file=sys.stderr)
-        if r64.get("precise_evals_per_sec"):
-            pes = r64["precise_evals_per_sec"]
-            print(f"[bench]   precise batched (chunked, per chip): "
-                  f"{pes:.2f} evals/s = {pes * ref['cpu_eval_seconds']:.1f}x"
-                  f" CPU f64; geometry-batched PES is data-parallel, so "
-                  f"the v5e-8 north-star slice scales this 8x "
-                  f"(model.potential_and_forces_precise_sharded)",
-                  file=sys.stderr)
-
-    print(f"[bench] total wall time {time.time() - t_start:.0f} s",
-          file=sys.stderr)
+    # THE HEADLINE, immediately after the tpu32 worker: nothing printed
+    # or computed past this line can lose the round's metric.
     print(json.dumps({
         "metric": "zundel84_pes_force_evals_per_sec",
         "value": round(r32["evals_per_sec"], 2),
         "unit": "evals/s",
-        "vs_baseline": round(r32["evals_per_sec"] / cpu_evals_per_sec, 1),
-    }))
+        "vs_baseline": round(r32["evals_per_sec"] * anchor_s, 1),
+    }), flush=True)
+
+    if cpu_status == "stale":
+        print("[bench] WARNING: cached CPU baseline is STALE (pipeline "
+              f"fingerprint or store bits changed since "
+              f"{cache.get('cpu_date', '?')}) — accuracy ladder below "
+              "compares against outdated reference values; run `python "
+              "bench.py --refresh` untimed", file=sys.stderr)
+    if ref is None:
+        print(f"[bench] total wall time {time.time() - t_start:.0f} s",
+              file=sys.stderr)
+        return
+
+    # ---- informational ladder (all cached; no recomputation) ----------
+    r64, t64_status = _rung(cache, "tpu64", fp, r32["store_md5"])
+    cpu_s = ref["cpu_eval_seconds"]
+    reps = ref.get("cpu_rep_times")
+    spread = (f" (reps {[round(t, 2) for t in reps]})" if reps else "")
+    print(f"[bench] CPU f64: {cpu_s:.2f} s/eval{spread}, anchored "
+          f"{anchor_s:.2f} s/eval "
+          f"[{cpu_status}, {cache.get('cpu_date', '?')}]", file=sys.stderr)
+    if r32.get("md_steps_per_sec"):
+        print(f"[bench] MD steps/sec (100-step on-device NVE scan): "
+              f"{r32['md_steps_per_sec']:.1f}", file=sys.stderr)
+
+    if ref["store_md5"] != r32["store_md5"]:
+        print("[bench] WARNING: store bits differ between the tpu32 run "
+              "and the cached CPU reference — skipping the accuracy "
+              "ladder (not comparing identical models)", file=sys.stderr)
+    else:
+        e_ref = ref["energy"]
+        f_ref = np.array(ref["forces"])
+        f_f32 = np.array(r32["f_f32"])
+        print(f"[bench] precision ladder vs CPU f64 at ntrain={NTRAIN}"
+              f" [{cpu_status}]:", file=sys.stderr)
+        print(f"[bench]   f32:        |dE| = "
+              f"{abs(r32['e_f32'] - e_ref):.3e} Ha, max|dF| = "
+              f"{np.abs(f_f32 - f_ref).max():.3e} Ha/Bohr", file=sys.stderr)
+        print(f"[bench]   exact asm:  |dE| = "
+              f"{abs(r32['e_comp'] - e_ref):.3e} Ha", file=sys.stderr)
+        if r64 is not None and r64["store_md5"] == ref["store_md5"]:
+            f_pre = np.array(r64["f_precise"])
+            print(f"[bench]   precise:    |dE| = "
+                  f"{abs(r64['e_precise'] - e_ref):.3e} Ha, max|dF| = "
+                  f"{np.abs(f_pre - f_ref).max():.3e} Ha/Bohr "
+                  f"[{t64_status}, {cache.get('tpu64_date', '?')}]",
+                  file=sys.stderr)
+            if r64.get("e_ozaki") is not None:
+                f_oz = np.array(r64["f_ozaki"])
+                print(f"[bench]   precise/ozaki (MXU): |dE| = "
+                      f"{abs(r64['e_ozaki'] - e_ref):.3e} Ha, max|dF| = "
+                      f"{np.abs(f_oz - f_ref).max():.3e} Ha/Bohr",
+                      file=sys.stderr)
+            if r64.get("precise_evals_per_sec"):
+                pes = r64["precise_evals_per_sec"]
+                print(f"[bench]   precise batched (ozaki engine, exact "
+                      f"assembly, per chip): {pes:.2f} evals/s = "
+                      f"{pes * anchor_s:.1f}x CPU f64; geometry-batched "
+                      f"PES is data-parallel, so the v5e-8 north-star "
+                      f"slice scales this 8x "
+                      f"(model.potential_and_forces_precise_sharded)",
+                      file=sys.stderr)
+
+    print(f"[bench] total wall time {time.time() - t_start:.0f} s",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":
     if "--worker" in sys.argv:
         {"tpu32": worker_tpu32, "tpu64": worker_tpu64,
          "cpu": worker_cpu}[sys.argv[sys.argv.index("--worker") + 1]]()
+    elif "--refresh" in sys.argv:
+        names = [a for a in sys.argv[1:] if a in ("cpu", "tpu64")]
+        refresh(tuple(names) or ("cpu", "tpu64"))
     else:
         main()

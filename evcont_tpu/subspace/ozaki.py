@@ -194,7 +194,11 @@ def _ozaki_bf16_batched(A, B, depth):
     db = _slice_digits_bf16(B, sb, depth)
     nb = -(-K // 256)
     Kp = nb * 256
-    if Kp != K:
+    # pad only when blocking actually happens: at nb == 1 the single
+    # dot_general runs at the original K (the engine's quartet classes
+    # often have K < 30 — padding them to 256 would be a ~10x inflation
+    # of the contraction axis for zero accuracy benefit)
+    if nb > 1 and Kp != K:
         da = [jnp.pad(d, ((0, 0), (0, 0), (0, Kp - K))) for d in da]
         db = [jnp.pad(d, ((0, 0), (0, Kp - K), (0, 0))) for d in db]
     out = jnp.zeros((bt, M, N), dtype=jnp.float64)
@@ -231,7 +235,13 @@ def _parse_einsum2(spec, A, B):
         f"{spec}: free index summed out (not expressible as a GEMM)"
     assert set(out) == set(batch) | set(fa) | set(fb), spec
     dims = {c: A.shape[xs.index(c)] for c in xs}
-    dims.update({c: B.shape[ys.index(c)] for c in ys})
+    for c in ys:
+        if c in dims:
+            assert B.shape[ys.index(c)] == dims[c], (
+                f"{spec}: operand shapes disagree on index {c!r}: "
+                f"A{tuple(A.shape)} vs B{tuple(B.shape)}")
+        else:
+            dims[c] = B.shape[ys.index(c)]
     return xs, ys, out, batch, contr, fa, fb, dims
 
 

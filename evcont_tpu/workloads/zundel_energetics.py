@@ -41,7 +41,7 @@ def training_geometries(workdir):
 
 
 def evaluate_energetics_training_points(mol, workdir=".", methods=(
-        "dmrg", "continuation", "ccsd", "dft", "hf")):
+        "dmrg", "continuation", "ccsd", "ccsdt", "dft", "hf")):
     overlap = np.load(os.path.join(workdir, "overlap.npy"))
     one_rdm = np.load(os.path.join(workdir, "one_rdm.npy"))
     two_rdm = np.load(os.path.join(workdir, "two_rdm.npy"))
@@ -64,7 +64,10 @@ def evaluate_energetics_training_points(mol, workdir=".", methods=(
             out["dmrg"].append(en + float(b.enuc))
         if "continuation" in methods:
             out["continuation"].append(float(model.potential(g)))
-        if "ccsd" in methods:
+        if "ccsd" in methods or "ccsdt" in methods:
+            # one RHF + integral transform serves both coupled-cluster
+            # columns; the (T) column is the reference's stage-5 CCSD(T)
+            # comparison (05_Zundel_test_potential_energy.py:182-210)
             try:
                 from ..solvers.ccsd import ccsd
                 from ..solvers.scf import rhf_from_engine
@@ -72,12 +75,23 @@ def evaluate_energetics_training_points(mol, workdir=".", methods=(
                 bb = eng.compute_jit(g)
                 h1m, erim = transform_integrals(
                     np.array(bb.hcore), np.array(bb.eri), hf.mo_coeff)
-                ec, _ = ccsd(np.array(h1m), np.array(erim),
-                             sum(mol.nelec))
-                e = hf.e_tot + ec
-                out["ccsd"].append((e if hf.converged else np.nan, e))
+                res = ccsd(np.array(h1m), np.array(erim), sum(mol.nelec),
+                           with_triples="ccsdt" in methods)
+                if "ccsdt" in methods:
+                    ec, et_corr, _ = res
+                    et = hf.e_tot + ec + et_corr
+                    out["ccsdt"].append(
+                        (et if hf.converged else np.nan, et))
+                else:
+                    ec, _ = res
+                if "ccsd" in methods:
+                    e = hf.e_tot + ec
+                    out["ccsd"].append((e if hf.converged else np.nan, e))
             except Exception:
-                out["ccsd"].append((np.nan, np.nan))
+                for m in ("ccsd", "ccsdt"):
+                    # fill only the columns this row has not produced yet
+                    if m in methods and len(out[m]) == i:
+                        out[m].append((np.nan, np.nan))
         if "dft" in methods:
             try:
                 from ..solvers.dft import rks
@@ -103,7 +117,8 @@ def evaluate_energetics_training_points(mol, workdir=".", methods=(
             os.path.join(workdir,
                          "energies_trn_points_full_continuation.txt"),
             np.array(out["continuation"]))
-    for m, name in (("ccsd", "CCSD"), ("dft", "DFT"), ("hf", "HF")):
+    for m, name in (("ccsd", "CCSD"), ("ccsdt", "CCSD_T"),
+                    ("dft", "DFT"), ("hf", "HF")):
         if m in methods:
             np.savetxt(
                 os.path.join(workdir, f"energies_trn_points_{name}.txt"),
@@ -185,7 +200,8 @@ def main(argv=None):
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--basis", default="6-31g")
     ap.add_argument("--methods", nargs="+",
-                    default=["dmrg", "continuation", "ccsd", "dft", "hf"])
+                    default=["dmrg", "continuation", "ccsd", "ccsdt",
+                             "dft", "hf"])
     ap.add_argument("--final-trajectory", choices=["hf", "dft", "ccsd"],
                     help="instead of training-point energetics: dipole/"
                          "charges/PES along the final trajectory with "

@@ -235,3 +235,45 @@ def test_h30_al_smoke_and_resume(tmp_path):
     traj = h30_al.run(max_iterations=2, **kw)
     assert np.all(np.isfinite(traj))
     assert (tmp_path / "en_diff_1.txt").exists()
+
+
+def test_energetics_ccsdt_column(tmp_path):
+    """The training-point energetics table's CCSD(T) column (VERDICT r3
+    #6; reference 05_Zundel_test_potential_energy.py:182-210 compares
+    against CCSD(T)): the column must equal RHF + CCSD(T) correlation
+    from the solver, and lie below plain CCSD (triples lower the
+    energy)."""
+    from evcont_tpu.integrals.engine import IntegralEngine
+    from evcont_tpu.solvers.ccsd import ccsd
+    from evcont_tpu.solvers.scf import rhf_from_engine
+    from evcont_tpu.oao import transform_integrals
+    from evcont_tpu.workloads.zundel_energetics import (
+        evaluate_energetics_training_points)
+
+    mol = water("sto-3g")
+    eng = IntegralEngine(mol)
+    nao = eng.nao
+    c0 = np.asarray(mol.coords)
+    # minimal converge_EVCont_MD-style workdir: one training point
+    np.savetxt(tmp_path / "trn_times.txt", [0])
+    np.save(tmp_path / "traj_EVCont_0.npy", c0[None])
+    np.save(tmp_path / "overlap.npy", np.eye(1))
+    np.save(tmp_path / "one_rdm.npy", np.zeros((1, nao, nao)))
+    np.save(tmp_path / "two_rdm.npy",
+            np.zeros((1, nao * nao * (nao * nao + 1) // 2)))
+
+    out = evaluate_energetics_training_points(
+        mol, workdir=str(tmp_path), methods=("ccsd", "ccsdt", "hf"))
+    (conv_t, e_t), = out["ccsdt"]
+    (conv_c, e_c), = out["ccsd"]
+    assert np.isfinite(e_t) and conv_t == e_t
+    assert e_t < e_c  # (T) lowers the energy
+    assert (tmp_path / "energies_trn_points_CCSD_T.txt").exists()
+
+    hf = rhf_from_engine(eng, coords=c0)
+    b = eng.compute_jit(c0)
+    h1m, erim = transform_integrals(np.array(b.hcore), np.array(b.eri),
+                                    hf.mo_coeff)
+    ec, et_corr, _ = ccsd(np.array(h1m), np.array(erim), sum(mol.nelec),
+                          with_triples=True)
+    assert abs(e_t - (hf.e_tot + ec + et_corr)) < 1e-10
