@@ -197,3 +197,25 @@ def test_precise_batch_sharded_matches_plain(trained_model):
         batch, mesh, mode="exact")
     np.testing.assert_allclose(np.array(e_sh), np.array(e_ref), atol=1e-11)
     np.testing.assert_allclose(np.array(f_sh), np.array(f_ref), atol=1e-9)
+
+
+def test_precise_path_ozaki_engine(trained_model):
+    """f64_contract="ozaki" (exact bf16-digit MXU contractions in the
+    integral engine, subspace/ozaki.py) must reproduce the emulated-f64
+    precise path to f64-class accuracy — the precise-throughput engine
+    of the bench tpu64 rung (VERDICT r3 #2)."""
+    m_ref = trained_model
+    mol = chain(1.7)
+    m_oz = ContinuationModel(
+        mol, m_ref.overlap, m_ref.one_rdm, m_ref.two_rdm,
+        packed_layout=m_ref.packed_layout, f64_contract="ozaki")
+    coords = np.asarray(mol.coords) \
+        + 0.01 * np.random.default_rng(2).standard_normal((4, 3))
+    e_ref, f_ref = m_ref.potential_and_forces_precise(coords)
+    e_oz, f_oz = m_oz.potential_and_forces_precise(coords)
+    assert abs(float(e_oz) - float(e_ref)) < 1e-11
+    assert np.abs(np.asarray(f_oz) - np.asarray(f_ref)).max() < 1e-9
+
+    eb, fb = m_oz.potential_and_forces_precise_batch(
+        coords[None], mode="exact")
+    assert abs(float(eb[0]) - float(e_ref)) < 1e-11
