@@ -150,14 +150,20 @@ class IntegralEngine:
     # emulated-f64 behavior they were built with
     f64_contract = "emulated"
 
-    def __init__(self, mol: Molecule, f64_contract="emulated"):
+    def __init__(self, mol: Molecule, f64_contract="emulated",
+                 ozaki_depth=(6, 5)):
         # f64_contract picks the kernel for the heavy contractions when
         # the pipeline runs at f64 (the precise mode): "emulated" keeps
         # XLA's software-f64 dots (off-MXU); "ozaki" routes them through
         # exact bf16-digit MXU passes (subspace/ozaki.py) at f64-class
         # accuracy — the precise-throughput path. f32 runs are unaffected.
+        # ozaki_depth = (forward, vjp) digit depths: error ~2^(-8*depth)
+        # relative to per-row operand maxima; depth 6 is f64-class, 5 is
+        # ~1e-12-relative (still far inside the 1e-8 Ha north star) at
+        # 15 vs 21 MXU passes per contraction and a smaller XLA program.
         assert f64_contract in ("emulated", "ozaki"), f64_contract
         self.f64_contract = f64_contract
+        self.ozaki_depth = tuple(ozaki_depth)
         self.mol = mol
         self.structure = build_shell_structure(mol)
         # internal (cartesian) AO layout used by the scatter kernels
@@ -183,10 +189,12 @@ class IntegralEngine:
         aggregation tables are stored f32)."""
         if self.f64_contract == "ozaki" and dtype == jnp.float64:
             from ..subspace.ozaki import ozaki_einsum
+            depth, grad_depth = self.ozaki_depth
 
             def ein(spec, a, b):
                 return ozaki_einsum(spec, a.astype(jnp.float64),
-                                    b.astype(jnp.float64))
+                                    b.astype(jnp.float64), depth,
+                                    grad_depth)
             return ein
         return jnp.einsum
 
@@ -576,11 +584,14 @@ class IntegralEngine:
     def __hash__(self):
         # static structure is fully determined by the molecule identity
         return hash((self.mol.symbols, self.mol.basis, self.mol.charge,
-                     self.mol.spin, self.f64_contract))
+                     self.mol.spin, self.f64_contract,
+                     getattr(self, "ozaki_depth", (6, 5))))
 
     def __eq__(self, other):
         return (isinstance(other, IntegralEngine)
                 and self.f64_contract == other.f64_contract
+                and getattr(self, "ozaki_depth", (6, 5))
+                == getattr(other, "ozaki_depth", (6, 5))
                 and self.mol.symbols == other.mol.symbols
                 and self.mol.basis == other.mol.basis
                 and self.mol.charge == other.mol.charge
