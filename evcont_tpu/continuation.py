@@ -44,7 +44,17 @@ from .oao import (
     restore_exchange,
     rfp_fold,
     rfp_unfold,
+    s8_fold,
+    s8_unfold,
 )
+
+
+def packed_fold(packed_layout):
+    """The h2-side packing kernel matching a store's packed_layout:
+    "tril" (reference schema), "rfp" (dense TPU fold), or "s8" (full
+    8-fold ERI-symmetry projection, oao.py)."""
+    return {"tril": compress_exchange, "rfp": rfp_fold,
+            "s8": s8_fold}[packed_layout]
 
 # numerical floor for whitening the training-state overlap matrix
 GEP_CUTOFF = 1.0e-12
@@ -66,11 +76,13 @@ def assemble_hamiltonian(h1, h2, one_rdm, two_rdm, two_body_backend="xla",
     streaming kernel (subspace/pallas_assembly.py).
 
     packed_layout names the slot order of exchange-compressed two_rdm axes:
-    "tril" (the reference's schema, oao.compress_exchange) or "rfp" (the
+    "tril" (the reference's schema, oao.compress_exchange), "rfp" (the
     TPU-internal dense fold, oao.rfp_fold — avoids the element-serial
-    gather/scatter the tril packing costs on TPU). ContinuationModel
-    converts its store to "rfp" at construction."""
-    pack = rfp_fold if packed_layout == "rfp" else compress_exchange
+    gather/scatter the tril packing costs on TPU), or "s8" (the full
+    8-fold ERI-symmetry projection, oao.s8_fold — 3.7x fewer store bytes
+    streamed per assembly). ContinuationModel converts its store to "rfp"
+    (or "s8" with compress_s8=True) at construction."""
+    pack = packed_fold(packed_layout)
     if one_rdm.ndim == 3:
         # pair-compressed one-body store (Npair, n, n) — the sharded layout.
         # The store may carry zero-padded tail rows (parallel.mesh pads the
@@ -564,8 +576,8 @@ def predicted_rdms(vec, one_rdm, two_rdm, norb, packed_layout="tril"):
         rdm2 = jnp.einsum("a,b,ab...->...", vec, vec, two_rdm)
 
     if rdm2.ndim == 1:
-        rdm2 = rfp_unfold(rdm2, norb) if packed_layout == "rfp" \
-            else restore_exchange(rdm2, norb)
+        rdm2 = {"rfp": rfp_unfold, "s8": s8_unfold,
+                "tril": restore_exchange}[packed_layout](rdm2, norb)
     return rdm1, rdm2
 
 

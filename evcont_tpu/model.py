@@ -53,7 +53,7 @@ class ContinuationModel:
     def __init__(self, mol: Molecule, overlap, one_rdm, two_rdm,
                  hermitian=True, assembly_backend="xla",
                  packed_layout="auto", f64_contract="emulated",
-                 ozaki_depth=(6, 5)):
+                 ozaki_depth=(6, 5), compress_s8=False):
         self.mol = mol
         # f64_contract="ozaki" routes the f64 contractions of the precise
         # paths (ERI quartet assembly, AO->OAO transform) through exact
@@ -95,6 +95,29 @@ class ContinuationModel:
                                    jnp.asarray(perm), axis=-1)
         elif packed_layout == "rfp-native":
             packed_layout = "rfp"
+        if compress_s8:
+            # project the exchange-compressed store onto the full 8-fold
+            # ERI-symmetry layout (oao.py s8 block): 3.72x fewer bytes per
+            # store stream, EXACTLY the same energies/forces (the dropped
+            # components are orthogonal to every real-orbital h2). One-time
+            # at construction; host path for numpy stores, device row-
+            # gather path for device-resident ones.
+            from .oao import compress_exchange, store_to_s8
+            if not npacked_ok:
+                if two_rdm.ndim not in (5, 6):
+                    raise ValueError(
+                        "compress_s8 requires a two-body t-RDM store "
+                        f"(got rank {two_rdm.ndim})")
+                # full uncompressed store (backend output): exchange-
+                # compress to the tril schema first, then project
+                two_rdm = np.asarray(compress_exchange(jnp.asarray(
+                    np.asarray(two_rdm, dtype=np.float64))))
+                packed_layout = "tril"
+            two_rdm = store_to_s8(
+                two_rdm if isinstance(two_rdm, np.ndarray)
+                else jnp.asarray(two_rdm), self.engine.nao,
+                order=packed_layout)
+            packed_layout = "s8"
         self.two_rdm = jnp.asarray(two_rdm)
         self.packed_layout = packed_layout
         # convenience for direct users of lowest_states_whitened; the jitted
@@ -260,11 +283,15 @@ class ContinuationModel:
                         else self.two_rdm, dtype=np.float64)
         if r1.ndim == 4:
             r1, r2 = to_pair_layout(r1, r2)
-        if self.packed_layout == "rfp" and store_f64_two_rdm is not None:
+        if store_f64_two_rdm is not None:
             # externally provided stores use the reference tril slot order;
-            # re-sort to match the model's internal RFP layout
-            from .oao import rfp_permutation
-            r2 = np.take(r2, rfp_permutation(self.engine.nao), axis=-1)
+            # re-sort/project to match the model's internal layout
+            if self.packed_layout == "rfp":
+                from .oao import rfp_permutation
+                r2 = np.take(r2, rfp_permutation(self.engine.nao), axis=-1)
+            elif self.packed_layout == "s8":
+                from .oao import store_to_s8
+                r2 = store_to_s8(r2, self.engine.nao, order="tril")
         self._comp_r1 = tuple(jnp.asarray(a) for a in split_two_float(r1))
         self._comp_r2 = tuple(jnp.asarray(a) for a in split_two_float(r2))
         return self
@@ -272,12 +299,11 @@ class ContinuationModel:
     @partial(jax.jit, static_argnums=0)
     def _energy_compensated(self, coords, r1_hi, r1_lo, r2_hi, r2_lo,
                             overlap):
-        from .oao import compress_exchange, rfp_fold
-        from .continuation import _unpack_pairs
+        from .continuation import _unpack_pairs, packed_fold
         from .subspace.compensated import (compensated_pair_assembly,
                                            rayleigh_refined_ground_state)
 
-        pack = rfp_fold if self.packed_layout == "rfp" else compress_exchange
+        pack = packed_fold(self.packed_layout)
         h1, h2, enuc = oao_integrals(self.engine, coords)
         h2c = pack(h2, diag_multiplier=0.5)
         H_hi, H_lo = compensated_pair_assembly(
@@ -314,14 +340,13 @@ class ContinuationModel:
         ~5e-9 relative — the batched throughput mode, where vmap turns
         the per-geometry contractions into one GEMM streaming the store
         once per batch)."""
-        from .oao import compress_exchange, rfp_fold
         from .continuation import (_unpack_pairs, ground_state_polished,
-                                   pair_compression_maps)
+                                   pair_compression_maps, packed_fold)
         from .subspace.compensated import (compensated_pair_assembly,
                                            split_two_float_device)
         sg = jax.lax.stop_gradient
         f64 = jnp.float64
-        pack = rfp_fold if self.packed_layout == "rfp" else compress_exchange
+        pack = packed_fold(self.packed_layout)
 
         def total_energy(c):
             # f64 integral pipeline (XLA-emulated f64 on TPU is genuinely
@@ -497,6 +522,14 @@ class ContinuationModel:
         """The two-body store in the reference's tril slot order
         (electron_integral_utils.py:38-66 schema) regardless of the
         internal layout — use for file export/interop."""
+        if self.packed_layout == "s8":
+            # the s8 store is the 8-fold-symmetric projection; export the
+            # symmetrized values in the reference slot order (identical
+            # energies against any real-orbital h2)
+            from .oao import s8_to_tril_maps
+            idx, w = s8_to_tril_maps(self.engine.nao)
+            return jnp.take(self.two_rdm, jnp.asarray(idx), axis=-1) \
+                * jnp.asarray(w, dtype=self.two_rdm.dtype)
         if self.packed_layout != "rfp":
             return self.two_rdm
         from .oao import rfp_permutation

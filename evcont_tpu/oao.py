@@ -208,9 +208,16 @@ def rfp_fold(h2, diag_multiplier=1.0):
     norb = h2.shape[-1]
     N = norb * norb
     batch = h2.shape[:-4]
-    M = h2.reshape(batch + (N, N))
+    return _sym_fold(h2.reshape(batch + (N, N)), diag_multiplier)
+
+
+def _sym_fold(M, diag_multiplier=1.0):
+    """RFP fold of a symmetric (..., N, N) matrix into its N(N+1)/2 unique
+    entries (dense slices + transpose + select; see rfp_fold)."""
+    N = M.shape[-1]
+    batch = M.shape[:-2]
     if diag_multiplier != 1.0:
-        eye = jnp.eye(N, dtype=h2.dtype)
+        eye = jnp.eye(N, dtype=M.dtype)
         M = M * (1.0 + (diag_multiplier - 1.0) * eye)
     k, rows = _rfp_geometry(N)
     nb = len(batch)
@@ -236,7 +243,14 @@ def rfp_unfold(packed, norb):
     """Inverse of rfp_fold (diag_multiplier=1): dense reconstruction of the
     full symmetric (..., norb, norb, norb, norb) tensor (slices +
     transposes + selects only)."""
-    N = norb * norb
+    norb2 = norb * norb
+    M = _sym_unfold(packed, norb2)
+    return M.reshape(packed.shape[:-1] + (norb, norb, norb, norb))
+
+
+def _sym_unfold(packed, N):
+    """Inverse of _sym_fold (diag_multiplier=1): the full symmetric
+    (..., N, N) matrix."""
     k, rows = _rfp_geometry(N)
     batch = packed.shape[:-1]
     nb = len(batch)
@@ -259,8 +273,7 @@ def rfp_unfold(packed, norb):
     Mlow = jnp.pad(Left, pad0 + [(0, 0), (0, N - k)]) \
         + jnp.pad(C, pad0 + [(N - C.shape[-2], 0), (N - C.shape[-1], 0)])
     eye = jnp.eye(N, dtype=packed.dtype)
-    M = Mlow + jnp.swapaxes(Mlow, -1, -2) * (1.0 - eye)
-    return M.reshape(batch + (norb, norb, norb, norb))
+    return Mlow + jnp.swapaxes(Mlow, -1, -2) * (1.0 - eye)
 
 
 def rfp_permutation(norb):
@@ -268,7 +281,15 @@ def rfp_permutation(norb):
     packed_rfp = packed_tril[..., perm]. Host-side numpy, cached."""
     if norb in _RFP_PERM_CACHE:
         return _RFP_PERM_CACHE[norb]
-    N = norb * norb
+    perm = _sym_permutation(norb * norb)
+    _RFP_PERM_CACHE[norb] = perm
+    return perm
+
+
+def _sym_permutation(N):
+    """Per-slot tril-linear index of the _sym_fold layout for an (N, N)
+    symmetric matrix: slot s of the fold holds the unique entry (i >= j)
+    with i*(i+1)/2 + j == perm[s]. Host numpy."""
     i, j = np.tril_indices(N)
     lin = (i * (i + 1) // 2 + j)
     idx = np.zeros((N, N), dtype=np.int64)
@@ -286,12 +307,191 @@ def rfp_permutation(norb):
     else:
         Cpad = np.pad(C.T, [(0, rows - (k - 1)), (1, 0)])
         P = np.where(r >= c, Left, Cpad)
-    perm = P.reshape(-1)
-    _RFP_PERM_CACHE[norb] = perm
-    return perm
+    return P.reshape(-1)
 
 
 _RFP_PERM_CACHE = {}
+
+
+# ---------------------------------------------------------------------------
+# s8: full 8-fold ERI-symmetry packing — the serial-MD streaming layout.
+#
+# The OAO two-electron tensor (real orbitals) is invariant under the full
+# 8-group {i<->j, k<->l, (ij)<->(kl)}, so only the 8-fold-symmetric
+# projection of a t-RDM store contributes to any assembly against it. The
+# rfp/tril layouts exploit only (ij)<->(kl): npacked = M(M+1)/2 with
+# M = nao^2. Projecting onto the full group packs to P(P+1)/2 with
+# P = nao(nao+1)/2 — 3.72x fewer store bytes at Zundel/6-31G (307,720 ->
+# 82,621 slots), which is exactly the factor the serial-MD step's two
+# full-store HBM streams (forward H assembly + Hellmann-Feynman weight
+# contraction) are bandwidth-bound by. Energies/forces are EXACTLY
+# unchanged in exact arithmetic: the dropped store components are
+# orthogonal to every 8-symmetric h2.
+#
+# Conventions (mirroring rfp): for an underlying per-pair Gamma, the s8
+# slot for unordered composite {P, Q} (P, Q tril pair indices) holds the
+# orbit sum A(P,Q) + A(Q,P) over ordered members, halved off-diagonal —
+# equivalently g(P) g(Q) Gamma_s[P,Q] for the symmetrized Gamma_s, with
+# g(P) = 2 - delta_ij. The h2 side (s8_fold) packs plain canonical values
+# with the diagonal optionally scaled, so
+#   store_s8 @ s8_fold(h2, 0.5) == store_rfp @ rfp_fold(h2, 0.5)
+# for every 8-symmetric h2 (tests/test_s8.py).
+# ---------------------------------------------------------------------------
+def s8_rows(norb):
+    """Representative ordered composite index i*norb + j (i >= j) of each
+    tril pair slot P."""
+    i, j = np.tril_indices(norb)
+    return (i * norb + j).astype(np.int32)
+
+
+def s8_npacked(norb):
+    T = norb * (norb + 1) // 2
+    return T * (T + 1) // 2
+
+
+def s8_fold(h2, diag_multiplier=1.0):
+    """Pack an 8-fold-symmetric 4-index tensor into its s8 slot vector
+    (..., P(P+1)/2): two leading-axis row gathers onto the tril composite
+    pairs (cheap — h2 is the small per-geometry tensor, not the store)
+    followed by the dense _sym_fold."""
+    norb = h2.shape[-1]
+    N = norb * norb
+    batch = h2.shape[:-4]
+    M = h2.reshape(batch + (N, N))
+    rows = jnp.asarray(s8_rows(norb))
+    M = jnp.take(M, rows, axis=-2)
+    M = jnp.take(M, rows, axis=-1)
+    return _sym_fold(M, diag_multiplier)
+
+
+def s8_unfold(packed, norb):
+    """Full symmetrized 4-index tensor from an s8 store vector: the unique
+    8-fold-symmetric Gamma_s with sum(Gamma_s * h2) = sum(Gamma * h2) for
+    every 8-symmetric h2 (what predicted-RDM observables contracted with
+    symmetric kernels see)."""
+    T = norb * (norb + 1) // 2
+    M = _sym_unfold(packed, T)                     # entries g(P) g(Q) Gamma
+    i, j = np.tril_indices(norb)
+    g = jnp.asarray((2.0 - (i == j)).astype(np.float64), dtype=packed.dtype)
+    M = M / (g[:, None] * g[None, :])
+    # broadcast each unordered composite value to all ordered members
+    pq = np.zeros((norb, norb), dtype=np.int32)
+    pq[i, j] = np.arange(T)
+    pq[j, i] = np.arange(T)
+    pqf = jnp.asarray(pq.reshape(-1))
+    M = jnp.take(M, pqf, axis=-2)
+    M = jnp.take(M, pqf, axis=-1)
+    return M.reshape(packed.shape[:-1] + (norb,) * 4)
+
+
+def s8_from_packed_maps(norb, order="rfp"):
+    """(src, w): for each s8 slot, the <= 4 source slots of an rfp/tril
+    exchange-compressed store and 0/1 weights such that
+    store_s8[..., q] = sum_t w[t, q] * store[..., src[t, q]].
+
+    Host numpy, cached per (norb, order). The combos are the g(P) g(Q)
+    ordered representatives of the slot's bra/ket pairs; colliding combos
+    (the {IJ, JI} diagonal case) appear as duplicate indices, which is
+    exactly the factor-2 the orbit sum requires."""
+    key = (norb, order)
+    if key in _S8_MAP_CACHE:
+        return _S8_MAP_CACHE[key]
+    T = norb * (norb + 1) // 2
+    lin = _sym_permutation(T)                    # slot -> P*(P+1)/2 + Q
+    P = ((np.sqrt(8.0 * lin + 1.0) - 1.0) / 2.0).astype(np.int64)
+    # exact integer correction of the float isqrt
+    P = np.where((P + 1) * (P + 2) // 2 <= lin, P + 1, P)
+    P = np.where(P * (P + 1) // 2 > lin, P - 1, P)
+    Q = lin - P * (P + 1) // 2
+    ti, tj = np.tril_indices(norb)
+    i, j = ti[P], tj[P]
+    k, l = ti[Q], tj[Q]
+    IJ = np.stack([i * norb + j, j * norb + i])          # (2, nslot)
+    KL = np.stack([k * norb + l, l * norb + k])
+    ij_ok = np.stack([np.ones_like(i, bool), i != j])
+    kl_ok = np.stack([np.ones_like(k, bool), k != l])
+    srcs, ws = [], []
+    if order == "rfp":
+        M = norb * norb
+        inv = np.empty(M * (M + 1) // 2, dtype=np.int64)
+        inv[_sym_permutation(M)] = np.arange(inv.shape[0])
+    for a in range(2):
+        for b in range(2):
+            hi = np.maximum(IJ[a], KL[b])
+            lo = np.minimum(IJ[a], KL[b])
+            slot = hi * (hi + 1) // 2 + lo               # tril linear
+            if order == "rfp":
+                slot = inv[slot]
+            valid = ij_ok[a] & kl_ok[b]
+            srcs.append(np.where(valid, slot, 0).astype(np.int32))
+            ws.append(valid.astype(np.float32))
+    out = (np.stack(srcs), np.stack(ws))
+    _S8_MAP_CACHE[key] = out
+    return out
+
+
+_S8_MAP_CACHE = {}
+
+
+def s8_to_tril_maps(norb):
+    """(idx, w): reference-tril-order view of an s8 store —
+    store_tril_sym[..., t] = store_s8[..., idx[t]] * w[t], the symmetrized
+    store in the reference's compress_exchange slot order (for file
+    export/interop; energies against real-orbital h2 are identical)."""
+    N = norb * norb
+    I, J = np.tril_indices(N)                      # composite IJ >= KL
+    i, j = I // norb, I % norb
+    k, l = J // norb, J % norb
+    T = norb * (norb + 1) // 2
+    ti, tj = np.tril_indices(norb)
+    pq = np.zeros((norb, norb), dtype=np.int64)
+    pq[ti, tj] = np.arange(T)
+    pq[tj, ti] = np.arange(T)
+    P, Q = pq[i, j], pq[k, l]
+    hi, lo = np.maximum(P, Q), np.minimum(P, Q)
+    inv = np.empty(T * (T + 1) // 2, dtype=np.int64)
+    inv[_sym_permutation(T)] = np.arange(inv.shape[0])
+    idx = inv[hi * (hi + 1) // 2 + lo]
+    w = 1.0 / ((2.0 - (i == j)) * (2.0 - (k == l)))
+    return idx.astype(np.int32), w.astype(np.float32)
+
+
+def store_to_s8(two_rdm, norb, order="rfp", chunk_rows=256,
+                chunk_slots=16384):
+    """Project an exchange-compressed (..., npacked) t-RDM store onto the
+    s8 layout (one-time, at model construction).
+
+    numpy input: chunked fancy-indexing over leading rows (no transient
+    transpose — the CPU-f64 reference process is RAM-bound).
+    jax input: the store is transposed once and gathered by LEADING-axis
+    rows in slot chunks (minor-axis gathers are element-serial on TPU;
+    row gathers are DMA copies), bounding transient HBM at roughly
+    2x store + output."""
+    src, w = s8_from_packed_maps(norb, order)
+    nslot = src.shape[1]
+    if isinstance(two_rdm, np.ndarray):
+        out = np.empty(two_rdm.shape[:-1] + (nslot,), dtype=two_rdm.dtype)
+        flat = two_rdm.reshape(-1, two_rdm.shape[-1])
+        oflat = out.reshape(-1, nslot)
+        for lo in range(0, flat.shape[0], chunk_rows):
+            blk = flat[lo:lo + chunk_rows]
+            acc = blk[:, src[0]] * w[0]
+            for t in range(1, 4):
+                acc += blk[:, src[t]] * w[t]
+            oflat[lo:lo + chunk_rows] = acc
+        return out
+    st = jnp.swapaxes(jnp.asarray(two_rdm), -1, -2)
+    dt = st.dtype
+    outs = []
+    for lo in range(0, nslot, chunk_slots):
+        sl = slice(lo, min(lo + chunk_slots, nslot))
+        acc = None
+        for t in range(4):
+            g = jnp.take(st, jnp.asarray(src[t][sl]), axis=-2) \
+                * jnp.asarray(w[t][sl], dtype=dt)[:, None]
+            acc = g if acc is None else acc + g
+        outs.append(acc)
+    return jnp.swapaxes(jnp.concatenate(outs, axis=-2), -1, -2)
 
 
 def pair_compression_maps(ntrain):
