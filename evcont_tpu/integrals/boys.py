@@ -17,16 +17,32 @@ prohibitive with one Boys call per shell class. Instead:
 
 Both branches are smooth closed forms, so jnp.where selection is
 autodiff-safe (each branch stays finite for all T after clamping to its
-domain) and jax.grad delivers dF_m/dT = -F_{m+1} exactly.
+domain), and `boys` carries a custom JVP implementing the textbook
+identity dF_m/dT = -F_{m+1}: the primal evaluates ONE extra order and
+the tangent is a single multiply. Without it, autodiff walks the chain
+rule back through the ~64-term series and both recursions — measured as
+a sizable slice of the eri backward on TPU (the eri VJP is the hot path
+of every force evaluation).
+
+The series depth and branch switch are dtype-aware: f32 (the TPU
+throughput path) converges to f32 precision with 40 terms below T = 12
+(upward recursion is stable there for every order that arises,
+T > m + 1/2 with m <= L_total); f64 keeps the original 64-term / T = 18
+configuration (validated against scipy in tests/test_integrals.py).
 """
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 _SERIES_TERMS = 64
 _SWITCH = 18.0
+_SERIES_TERMS_F32 = 40
+_SWITCH_F32 = 12.0
 
 
+@partial(jax.custom_jvp, nondiff_argnums=(0,))
 def boys(m_max, T):
     """Evaluate F_0..F_{m_max} at T.
 
@@ -37,16 +53,34 @@ def boys(m_max, T):
     Returns:
         array of shape T.shape + (m_max + 1,)
     """
-    T = jnp.asarray(T)
+    return _boys_impl(m_max, T)
 
-    # ---- series branch (T <= SWITCH), clamped to keep it finite above ----
-    Ts = jnp.minimum(T, _SWITCH)
+
+@boys.defjvp
+def _boys_jvp(m_max, primals, tangents):
+    (T,), (dT,) = primals, tangents
+    F = _boys_impl(m_max + 1, T)
+    return F[..., : m_max + 1], -dT[..., None] * F[..., 1:]
+
+
+def _boys_impl(m_max, T):
+    T = jnp.asarray(T)
+    if T.dtype == jnp.float32:
+        series_terms = _SERIES_TERMS_F32
+        # upward recursion needs T > m + 1/2; keep the series branch wide
+        # enough for the highest order requested
+        switch = max(_SWITCH_F32, m_max + 2.0)
+    else:
+        series_terms, switch = _SERIES_TERMS, _SWITCH
+
+    # ---- series branch (T <= switch), clamped to keep it finite above ----
+    Ts = jnp.minimum(T, switch)
     exp_Ts = jnp.exp(-Ts)
     two_T_s = 2.0 * Ts
     # F_{m_max} by series: term_k = (2T)^k (2m-1)!! / (2m+2k+1)!!
     term = jnp.ones_like(Ts) / (2.0 * m_max + 1.0)
     acc = term
-    for k in range(1, _SERIES_TERMS):
+    for k in range(1, series_terms):
         term = term * two_T_s / (2.0 * m_max + 2.0 * k + 1.0)
         acc = acc + term
     F_top = acc * exp_Ts
@@ -56,8 +90,8 @@ def boys(m_max, T):
     for m in range(m_max, 0, -1):
         F_series[m - 1] = (two_T_s * F_series[m] + exp_Ts) / (2.0 * m - 1.0)
 
-    # ---- large-T branch (T > SWITCH) ----
-    Tb = jnp.maximum(T, _SWITCH)
+    # ---- large-T branch (T > switch) ----
+    Tb = jnp.maximum(T, switch)
     exp_Tb = jnp.exp(-Tb)
     sqrt_Tb = jnp.sqrt(Tb)
     F0 = 0.5 * jnp.sqrt(jnp.pi) / sqrt_Tb * jax.scipy.special.erf(sqrt_Tb)
@@ -66,6 +100,6 @@ def boys(m_max, T):
     for m in range(m_max):
         F_up.append(((2.0 * m + 1.0) * F_up[m] - exp_Tb) * inv_2T)
 
-    small = T <= _SWITCH
+    small = T <= switch
     out = [jnp.where(small, fs, fu) for fs, fu in zip(F_series, F_up)]
     return jnp.stack(out, axis=-1)

@@ -41,16 +41,41 @@ def training_geometries(workdir):
 
 
 def evaluate_energetics_training_points(mol, workdir=".", methods=(
-        "dmrg", "continuation", "ccsd", "ccsdt", "dft", "hf")):
-    overlap = np.load(os.path.join(workdir, "overlap.npy"))
-    one_rdm = np.load(os.path.join(workdir, "one_rdm.npy"))
-    two_rdm = np.load(os.path.join(workdir, "two_rdm.npy"))
+        "dmrg", "continuation", "ccsd", "ccsdt", "dft", "hf"),
+        resume=False, progress=False):
+    """resume: reload per-method partial rows (written after every
+    geometry) and skip the already-solved prefix — the per-point solves
+    cost minutes each on a single core, so a wall-clock kill must not
+    lose the table. progress: print one line per geometry (flushed)."""
     geoms = training_geometries(workdir)
     eng = IntegralEngine(mol)
-    model = ContinuationModel(mol, overlap, one_rdm, two_rdm)
+    if "dmrg" in methods or "continuation" in methods:
+        # the t-RDM store is only needed for the solver/continuation
+        # columns; the CCSD/CCSD(T)/DFT/HF baselines run from geometries
+        # alone (matching the reference, which also solves them fresh)
+        overlap = np.load(os.path.join(workdir, "overlap.npy"))
+        one_rdm = np.load(os.path.join(workdir, "one_rdm.npy"))
+        two_rdm = np.load(os.path.join(workdir, "two_rdm.npy"))
+        model = ContinuationModel(mol, overlap, one_rdm, two_rdm)
+
+    def _partial_path(m):
+        return os.path.join(workdir, f"energies_trn_points_{m}.partial.npy")
 
     out = {m: [] for m in methods}
+    start = 0
+    if resume:
+        loaded = {m: (np.load(_partial_path(m)).tolist()
+                      if os.path.exists(_partial_path(m)) else [])
+                  for m in methods}
+        start = min(len(v) for v in loaded.values())
+        out = {m: [tuple(r) if np.ndim(r) else float(r)
+                   for r in loaded[m][:start]] for m in methods}
+        if progress and start:
+            print(f"[energetics] resuming at point {start}/{len(geoms)}",
+                  flush=True)
     for i, g in enumerate(geoms):
+        if i < start:
+            continue
         g = np.asarray(g, dtype=float)
         if "dmrg" in methods or "continuation" in methods:
             b = eng.compute_jit(g)
@@ -108,6 +133,11 @@ def evaluate_energetics_training_points(mol, workdir=".", methods=(
                     (r.e_tot if r.converged else np.nan, r.e_tot))
             except Exception:
                 out["hf"].append((np.nan, np.nan))
+        for m in methods:
+            np.save(_partial_path(m), np.asarray(out[m]))
+        if progress:
+            print(f"[energetics] point {i + 1}/{len(geoms)} done",
+                  flush=True)
 
     if "dmrg" in methods:
         np.savetxt(os.path.join(workdir, "energies_trn_points_DMRG.txt"),

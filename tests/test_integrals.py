@@ -48,11 +48,33 @@ def test_boys_vs_scipy():
 
 
 def test_boys_derivative():
-    # dF_m/dT = -F_{m+1}
+    # dF_m/dT = -F_{m+1} (carried by the custom JVP; check against the
+    # identity AND against finite differences so the rule itself is pinned)
     T = np.array([0.3, 5.0, 17.9, 18.1, 40.0])
     jac = jax.vmap(jax.jacfwd(lambda t: boys(3, t)))(T)
     F = np.array(boys(4, T))
     np.testing.assert_allclose(np.array(jac), -F[:, 1:], rtol=1e-10, atol=1e-14)
+    eps = 1e-6
+    fd = (np.array(boys(3, T + eps)) - np.array(boys(3, T - eps))) / (2 * eps)
+    np.testing.assert_allclose(np.array(jac), fd, rtol=5e-5, atol=1e-10)
+    # reverse mode agrees (transpose of the linear tangent rule)
+    g = jax.vmap(jax.grad(lambda t: boys(3, t).sum()))(T)
+    np.testing.assert_allclose(np.array(g), -F[:, 1:].sum(axis=1),
+                               rtol=1e-10, atol=1e-14)
+
+
+def test_boys_f32_branch_accuracy():
+    """The f32 series/switch configuration (TPU throughput path) must stay
+    at f32 precision for every order the eri path can request (L up to 12
+    covers f-shell quartets)."""
+    T = np.concatenate([
+        np.linspace(0.0, 60.0, 1201), [1e-8, 11.99, 12.01, 14.0, 200.0],
+    ])
+    for m_max in (4, 12):
+        F32 = np.array(boys(m_max, T.astype(np.float32)), dtype=np.float64)
+        F64 = np.array(boys(m_max, T))
+        rel = np.abs(F32 - F64) / np.maximum(np.abs(F64), 1e-300)
+        assert rel.max() < 4e-6, (m_max, rel.max())
 
 
 def test_h2_sto3g_textbook():
