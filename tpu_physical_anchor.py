@@ -69,18 +69,23 @@ def rebuild():
             print(f"[anchor] appended {k + 1}/{len(geoms)} "
                   f"({time.time() - t0:.0f} s)", flush=True)
         # cross-check against the committed artifacts: same training set
-        # must reproduce the same overlaps/1-RDMs (f64, loose tol for
-        # SCF/Davidson iteration noise)
+        # must reproduce the same overlaps up to the arbitrary global sign
+        # of each CI vector (continuation energies are invariant under
+        # D S D, D = diag(+-1)); residual = SCF/Davidson iteration noise
         ov_ref = np.load(os.path.join(SRC, "overlap.npy"))
-        dov = np.abs(np.asarray(backend.overlap) - ov_ref).max()
-        print(f"[anchor] max|overlap - committed| = {dov:.3e}", flush=True)
+        ov_new = np.asarray(backend.overlap)
+        s = np.sign(ov_new[0] * ov_ref[0])
+        s[0] = 1.0
+        dov = np.abs(s[:, None] * ov_new * s[None, :] - ov_ref).max()
+        print(f"[anchor] max|overlap - committed| (sign-gauge-fixed) = "
+              f"{dov:.3e}", flush=True)
         np.savez(STORE, overlap=np.asarray(backend.overlap),
                  one_rdm=np.asarray(backend.one_rdm),
                  two_rdm=np.asarray(backend.two_rdm))
         print(f"[anchor] store saved: {STORE}", flush=True)
 
 
-def _load_model(f32=True):
+def _load_model(f32=True, compress_s8=False):
     from evcont_tpu.model import ContinuationModel
     with np.load(STORE) as st:
         ov, r1, r2 = st["overlap"], st["one_rdm"], st["two_rdm"]
@@ -88,20 +93,25 @@ def _load_model(f32=True):
         r1, r2 = r1.astype(np.float32), r2.astype(np.float32)
     mol = _mol()
     # production conditioning, as in the AL driver and stage-4 pipeline
-    return mol, ContinuationModel.orthonormalized(mol, ov, r1, r2)
+    return mol, ContinuationModel.orthonormalized(
+        mol, ov, r1, r2, compress_s8=compress_s8)
 
 
 def measure():
     """TPU: batched PES+forces throughput + single-geometry values on the
-    physical store."""
+    physical store. Pass `s8` on the command line to measure the
+    production s8 layout (oao.py 8-fold ERI-symmetry projection) instead
+    of rfp — both are recorded under distinct keys."""
     import jax
     import bench
 
-    mol, model = _load_model(f32=True)
+    s8 = "s8" in sys.argv[1:]
+    mol, model = _load_model(f32=True, compress_s8=s8)
     ntrain = model.overlap.shape[0]
     npair = model.one_rdm.shape[0]
     print(f"[anchor] platform={jax.devices()[0].platform} "
-          f"ntrain={ntrain} pairs={npair}", flush=True)
+          f"ntrain={ntrain} pairs={npair} layout={model.packed_layout}",
+          flush=True)
     _, batch = bench.eval_geometry(64)
     e, F = model.potential_and_forces_batch(batch)
     np.array(e)
@@ -119,6 +129,8 @@ def measure():
            "npair": npair, "evals_per_sec_per_kpair": eps * npair / 1e3,
            "e_f32": float(e1),
            "f_f32": np.asarray(f1, dtype=np.float64).ravel().tolist()}
+    if s8:
+        out = {f"s8_{k}": v for k, v in out.items()}
     os.makedirs(WORKDIR, exist_ok=True)
     prev = {}
     if os.path.exists(RESULT):
@@ -127,10 +139,9 @@ def measure():
     prev.update(out)
     with open(RESULT, "w") as fh:
         json.dump(prev, fh, indent=1)
-    print(f"[anchor] physical-store throughput: {eps:.1f} evals/s "
-          f"(batch {len(batch)}, {npair} pairs; "
-          f"{out['evals_per_sec_per_kpair']:.1f} evals/s per kpair)",
-          flush=True)
+    print(f"[anchor] physical-store throughput ({model.packed_layout}): "
+          f"{eps:.1f} evals/s (batch {len(batch)}, {npair} pairs; "
+          f"{eps * npair / 1e3:.1f} evals/s per kpair)", flush=True)
 
 
 def cpu():
