@@ -188,7 +188,7 @@ def eval_geometry(batch_size=1):
 
 
 def _build_model(overlap_f64=False, store_f64=False,
-                 f64_contract="emulated"):
+                 f64_contract="emulated", ozaki_depth=(6, 5)):
     from evcont_tpu.model import ContinuationModel
     from evcont_tpu.integrals.engine import IntegralEngine
 
@@ -215,7 +215,8 @@ def _build_model(overlap_f64=False, store_f64=False,
     # bitwise-identical store values.
     return ContinuationModel(mol, ov, r1, r2,
                              packed_layout="rfp-native", compress_s8=True,
-                             f64_contract=f64_contract), batch, nao
+                             f64_contract=f64_contract,
+                             ozaki_depth=ozaki_depth), batch, nao
 
 
 def worker_tpu32():
@@ -325,12 +326,47 @@ def worker_tpu64():
     out = {"e_precise": e, "f_precise": f.ravel().tolist(),
            "store_md5": store_hash(model.overlap)}
 
-    # Ozaki-engine precise rungs: same precise pipeline with the f64
-    # contractions on exact bf16-digit MXU passes (subspace/ozaki.py).
-    # Optional — must not sink the anchor values above.
+    # the north-star rung: BATCHED precise throughput — vmap turns the
+    # per-geometry store contractions into GEMMs streaming the s8 store
+    # once per chunk and amortizes the emulated-f64 integral pipeline.
+    # Runs on the same (emulated-f64, exact-assembly) engine as the
+    # anchor values above, so its accuracy IS the precise row of the
+    # ladder. Must not sink the anchor values.
+    try:
+        _, batch8 = eval_geometry(8)
+        b8 = np.asarray(batch8, dtype=np.float64)
+        eb, fb = model.potential_and_forces_precise_batch(
+            b8, mode="exact", chunk=4)
+        np.array(eb)
+        times = []
+        for rep in range(3):
+            t0 = time.time()
+            eb, fb = model.potential_and_forces_precise_batch(
+                b8 * (1.0 + 1e-10 * (rep + 1)), mode="exact", chunk=4)
+            np.array(eb)
+            times.append(time.time() - t0)
+        out["precise_batch"] = len(b8)
+        out["precise_evals_per_sec"] = len(b8) / float(np.median(times))
+        out["e_precise_batch0"] = float(np.asarray(eb)[0])
+        print(f"[bench] precise batched (exact assembly): "
+              f"{out['precise_evals_per_sec']:.2f} evals/s "
+              f"(batch {len(b8)}, chunk 4)", file=sys.stderr)
+    except Exception as err:
+        print(f"[bench] precise batched rung failed: "
+              f"{type(err).__name__}: {err}", file=sys.stderr)
+        out.setdefault("precise_evals_per_sec", None)
+        out.setdefault("precise_batch", None)
+
+    # Ozaki-engine rung (optional): the same precise pipeline with the
+    # f64 contractions as exact bf16-digit MXU passes (subspace/ozaki.py).
+    # The FULL-pipeline ozaki program currently exceeds the remote TPU
+    # compile helper's memory at every useful depth (SIGKILL, r04) —
+    # kept as an attempt so the rung self-reports; the ERI-stage numbers
+    # are in tpu_profile_eri.py / RESULTS.md.
     try:
         model_oz, _, _ = _build_model(overlap_f64=True,
-                                      f64_contract="ozaki")
+                                      f64_contract="ozaki",
+                                      ozaki_depth=(5, 4))
         t0 = time.time()
         eo, fo = model_oz.potential_and_forces_precise(c)
         eo = float(eo)
@@ -345,32 +381,9 @@ def worker_tpu64():
               file=sys.stderr)
         out.update(e_ozaki=eo, f_ozaki=fo.ravel().tolist(),
                    ozaki_eval_seconds=t_oz)
-
-        # the north-star rung: batched precise throughput on the Ozaki
-        # engine, exact (error-free) store assembly, chunk-4 lax.map
-        _, batch8 = eval_geometry(8)
-        b8 = np.asarray(batch8, dtype=np.float64)
-        eb, fb = model_oz.potential_and_forces_precise_batch(
-            b8, mode="exact", chunk=4)
-        np.array(eb)
-        times = []
-        for rep in range(3):
-            t0 = time.time()
-            eb, fb = model_oz.potential_and_forces_precise_batch(
-                b8 * (1.0 + 1e-10 * (rep + 1)), mode="exact", chunk=4)
-            np.array(eb)
-            times.append(time.time() - t0)
-        out["precise_batch"] = len(b8)
-        out["precise_evals_per_sec"] = len(b8) / float(np.median(times))
-        print(f"[bench] precise batched (ozaki engine): "
-              f"{out['precise_evals_per_sec']:.2f} evals/s "
-              f"(batch {len(b8)}, chunk 4, exact assembly)",
-              file=sys.stderr)
     except Exception as err:
         print(f"[bench] ozaki precise rung failed: "
               f"{type(err).__name__}: {err}", file=sys.stderr)
-        out.setdefault("precise_evals_per_sec", None)
-        out.setdefault("precise_batch", None)
     print(json.dumps(out))
 
 
@@ -558,10 +571,10 @@ def main():
                       file=sys.stderr)
             if r64.get("precise_evals_per_sec"):
                 pes = r64["precise_evals_per_sec"]
-                print(f"[bench]   precise batched (ozaki engine, exact "
-                      f"assembly, per chip): {pes:.2f} evals/s = "
+                print(f"[bench]   precise batched (exact assembly, per "
+                      f"chip): {pes:.2f} evals/s = "
                       f"{pes * anchor_s:.1f}x CPU f64; geometry-batched "
-                      f"PES is data-parallel, so the v5e-8 north-star "
+                      f"PES is data-parallel, so an 8-chip north-star "
                       f"slice scales this 8x "
                       f"(model.potential_and_forces_precise_sharded)",
                       file=sys.stderr)
