@@ -66,7 +66,12 @@ import time
 import numpy as np
 
 NTRAIN = 84
-BATCH_CANDIDATES = (128, 64, 32, 16, 8)
+# (batch, chunk): chunk=None is a fused vmap; chunk=C processes the batch
+# as lax.map sub-batches of C inside one dispatch (HBM stays at the
+# chunk's footprint — a fused 128-wide vmap OOMs at the flagship store,
+# BENCH_r04, so the large batches ride the known-good 64-wide body)
+BATCH_CANDIDATES = ((256, 64), (128, 64), (64, None), (32, None),
+                    (16, None), (8, None))
 REPS = 5
 SEED = 0
 
@@ -235,26 +240,28 @@ def worker_tpu32():
     # per-eval cost is not monotone in batch (HBM pressure vs dispatch
     # amortization), so "first that fits" can leave throughput on the table
     evals_per_sec, batch_used, rep_times = None, None, []
-    for B in BATCH_CANDIDATES:
+    for B, chunk in BATCH_CANDIDATES:
         try:
             _, batch = eval_geometry(B)
-            e, F = model.potential_and_forces_batch(batch)
+            e, F = model.potential_and_forces_batch(batch, chunk=chunk)
             np.array(e)   # force a host sync (block_until_ready is a
             #               no-op through the axon tunnel)
             times = []
             for rep in range(REPS):
                 t0 = time.time()
                 e, F = model.potential_and_forces_batch(
-                    batch + np.float32(1e-5 * (rep + 1)))
+                    batch + np.float32(1e-5 * (rep + 1)), chunk=chunk)
                 np.array(e)
                 times.append(time.time() - t0)
             eps = B / float(np.median(times))
-            print(f"[bench] batch={B}: {eps:.1f} evals/s", file=sys.stderr)
+            tag = f"batch={B}" + (f" (chunk {chunk})" if chunk else "")
+            print(f"[bench] {tag}: {eps:.1f} evals/s", file=sys.stderr)
             if evals_per_sec is None or eps > evals_per_sec:
                 evals_per_sec, batch_used, rep_times = eps, B, times
         except Exception as err:  # OOM at this batch size: step down
-            print(f"[bench] batch {B} failed ({type(err).__name__}); "
-                  "trying smaller", file=sys.stderr)
+            print(f"[bench] batch {B} (chunk {chunk}) failed "
+                  f"({type(err).__name__}); trying smaller",
+                  file=sys.stderr)
     if evals_per_sec is None:
         raise RuntimeError("all batch sizes failed")
     print(f"[bench] batch={batch_used} rep times="

@@ -53,8 +53,13 @@ def packed_fold(packed_layout):
     """The h2-side packing kernel matching a store's packed_layout:
     "tril" (reference schema), "rfp" (dense TPU fold), or "s8" (full
     8-fold ERI-symmetry projection, oao.py)."""
-    return {"tril": compress_exchange, "rfp": rfp_fold,
-            "s8": s8_fold}[packed_layout]
+    kernels = {"tril": compress_exchange, "rfp": rfp_fold, "s8": s8_fold}
+    try:
+        return kernels[packed_layout]
+    except KeyError:
+        raise ValueError(
+            f"unknown packed_layout {packed_layout!r}; valid layouts are "
+            f"{sorted(kernels)}") from None
 
 # numerical floor for whitening the training-state overlap matrix
 GEP_CUTOFF = 1.0e-12

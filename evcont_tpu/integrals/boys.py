@@ -59,17 +59,23 @@ def boys(m_max, T):
 @boys.defjvp
 def _boys_jvp(m_max, primals, tangents):
     (T,), (dT,) = primals, tangents
-    F = _boys_impl(m_max + 1, T)
+    # switch_m pins the f32 branch boundary to the caller's m_max so the
+    # differentiated primal selects branches identically to a plain
+    # boys(m_max, T) call (the extra tangent order m_max+1 stays stable:
+    # upward recursion needs T > m + 3/2 and the branch only runs for
+    # T > m_max + 2)
+    F = _boys_impl(m_max + 1, T, switch_m=m_max)
     return F[..., : m_max + 1], -dT[..., None] * F[..., 1:]
 
 
-def _boys_impl(m_max, T):
+def _boys_impl(m_max, T, switch_m=None):
     T = jnp.asarray(T)
     if T.dtype == jnp.float32:
         series_terms = _SERIES_TERMS_F32
         # upward recursion needs T > m + 1/2; keep the series branch wide
         # enough for the highest order requested
-        switch = max(_SWITCH_F32, m_max + 2.0)
+        switch = max(_SWITCH_F32,
+                     (m_max if switch_m is None else switch_m) + 2.0)
     else:
         series_terms, switch = _SERIES_TERMS, _SWITCH
 

@@ -173,11 +173,26 @@ class ContinuationModel:
             lambda c: self._energy_raw(c, overlap, one_rdm, two_rdm)
         )(coords_batch)
 
-    @partial(jax.jit, static_argnums=0)
-    def _energy_and_grad_batch(self, coords_batch, overlap, one_rdm, two_rdm):
+    @partial(jax.jit, static_argnums=(0, 5))
+    def _energy_and_grad_batch(self, coords_batch, overlap, one_rdm,
+                               two_rdm, chunk=None):
         def f(c):
             return self._energy_raw(c, overlap, one_rdm, two_rdm)
-        return jax.vmap(jax.value_and_grad(f))(coords_batch)
+        body = jax.vmap(jax.value_and_grad(f))
+        B = coords_batch.shape[0]
+        if chunk is None or chunk >= B:
+            return body(coords_batch)
+        # chunked dispatch (lax.map over chunk-sized vmapped bodies): the
+        # peak HBM footprint stays at the chunk's size while one dispatch
+        # still amortizes launch overhead over the whole batch — this is
+        # what lets the probe ladder reach batch 128 at the Zundel-84
+        # flagship store (a fused 128-wide vmap of the eri+assembly
+        # graph OOMs the chip)
+        assert B % chunk == 0, (B, chunk)
+        cb = coords_batch.reshape((B // chunk, chunk)
+                                  + coords_batch.shape[1:])
+        e, g = jax.lax.map(body, cb)
+        return e.reshape(B), g.reshape((B,) + coords_batch.shape[1:])
 
     @partial(jax.jit, static_argnums=(0, 2))
     def _multistate(self, coords, nroots, overlap, one_rdm, two_rdm):
@@ -233,10 +248,14 @@ class ContinuationModel:
         return self._energy_batch(jnp.asarray(coords_batch), self.overlap,
                                   self.one_rdm, self.two_rdm)
 
-    def potential_and_forces_batch(self, coords_batch):
+    def potential_and_forces_batch(self, coords_batch, chunk=None):
+        """chunk: process the batch in lax.map sub-batches of this size
+        inside one dispatch — HBM stays at the chunk's footprint, so
+        batches beyond the fused-vmap OOM point (128 at the Zundel-84
+        store) still run. B must be a chunk multiple."""
         e, g = self._energy_and_grad_batch(
             jnp.asarray(coords_batch), self.overlap, self.one_rdm,
-            self.two_rdm)
+            self.two_rdm, chunk)
         return e, -g
 
     def multistate(self, coords, nroots=1):
@@ -518,11 +537,25 @@ class ContinuationModel:
             *(put(x) for x in self._comp_r2), overlap64, mode, None)
         return e[:B], -g[:B]
 
-    def two_rdm_tril(self):
+    def two_rdm_tril(self, strict=False):
         """The two-body store in the reference's tril slot order
         (electron_integral_utils.py:38-66 schema) regardless of the
-        internal layout — use for file export/interop."""
+        internal layout — use for file export/interop.
+
+        With the s8 layout, the export carries the 8-fold-SYMMETRIZED
+        values: energies against any real-orbital h2 are identical, but
+        the export is NOT bitwise-identical to the unsymmetrized store
+        the model was constructed from. Pass strict=True to refuse that
+        lossy export (raises ValueError) when a consumer expects a
+        bitwise round-trip."""
         if self.packed_layout == "s8":
+            if strict:
+                raise ValueError(
+                    "two_rdm_tril(strict=True): the s8 layout stores only "
+                    "the 8-fold-symmetrized 2-RDM projection; a bitwise "
+                    "round-trip of the original store is not possible. "
+                    "Construct the model with compress_s8=False for "
+                    "bitwise export parity.")
             # the s8 store is the 8-fold-symmetric projection; export the
             # symmetrized values in the reference slot order (identical
             # energies against any real-orbital h2)

@@ -211,7 +211,17 @@ def ccsd(h1, eri, nelec, max_cycle=100, conv_tol=1e-9, diis_size=8,
     if not with_triples:
         return e_corr, (t1, t2)
 
-    # perturbative (T): standard disconnected + connected triples
+    e_t = perturbative_triples_so(t1, t2, f, v, no)
+    return e_corr, e_t, (t1, t2)
+
+
+def perturbative_triples_so(t1, t2, f, v, no):
+    """Perturbative (T) correction from converged spin-orbital amplitudes:
+    standard disconnected + connected triples (Crawford-Schaefer
+    conventions). Shared by the spin-orbital solver and by ccsd_rhf
+    (which embeds its spatial amplitudes, _embed_so)."""
+    fo, fv = np.diag(f)[:no], np.diag(f)[no:]
+    o, u = slice(None, no), slice(no, None)
     D3 = (fo[:, None, None, None, None, None]
           + fo[None, :, None, None, None, None]
           + fo[None, None, :, None, None, None]
@@ -220,22 +230,22 @@ def ccsd(h1, eri, nelec, max_cycle=100, conv_tol=1e-9, diis_size=8,
           - fv[None, None, None, None, None, :])
 
     # connected triples: P(i/jk) P(a/bc) antisymmetrization of the
-    # generator terms (Crawford-Schaefer conventions)
-    g = (np.einsum("jkae,eibc->ijkabc", t2, v[u, o, u, u])
-         - np.einsum("imbc,majk->ijkabc", t2, v[o, u, o, o]))
+    # generator terms
+    g = (np.einsum("jkae,eibc->ijkabc", t2, v[u, o, u, u], optimize=True)
+         - np.einsum("imbc,majk->ijkabc", t2, v[o, u, o, o], optimize=True))
     # P(i/jk): 1 - (i<->j) - (i<->k); P(a/bc): 1 - (a<->b) - (a<->c)
     g = (g - g.transpose(1, 0, 2, 3, 4, 5) - g.transpose(2, 1, 0, 3, 4, 5))
     g = (g - g.transpose(0, 1, 2, 4, 3, 5) - g.transpose(0, 1, 2, 5, 4, 3))
     t3c = g / D3
 
     # disconnected triples
-    d = np.einsum("ia,jkbc->ijkabc", t1, v[o, o, u, u])
+    d = np.einsum("ia,jkbc->ijkabc", t1, v[o, o, u, u], optimize=True)
     d = (d - d.transpose(1, 0, 2, 3, 4, 5) - d.transpose(2, 1, 0, 3, 4, 5))
     d = (d - d.transpose(0, 1, 2, 4, 3, 5) - d.transpose(0, 1, 2, 5, 4, 3))
     t3d = d / D3
 
-    e_t = float(np.einsum("ijkabc,ijkabc->", t3c * D3, t3c + t3d) / 36.0)
-    return e_corr, e_t, (t1, t2)
+    return float(np.einsum("ijkabc,ijkabc->", t3c * D3, t3c + t3d,
+                           optimize=True) / 36.0)
 
 
 def _residual_so(t1, t2, h, v, jnp=np):

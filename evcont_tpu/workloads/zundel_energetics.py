@@ -95,13 +95,20 @@ def evaluate_energetics_training_points(mol, workdir=".", methods=(
             # comparison (05_Zundel_test_potential_energy.py:182-210)
             try:
                 from ..solvers.ccsd import ccsd
+                from ..solvers.ccsd_rhf import ccsd_rhf
                 from ..solvers.scf import rhf_from_engine
                 hf = rhf_from_engine(eng, coords=g)
                 bb = eng.compute_jit(g)
                 h1m, erim = transform_integrals(
                     np.array(bb.hcore), np.array(bb.eri), hf.mo_coeff)
-                res = ccsd(np.array(h1m), np.array(erim), sum(mol.nelec),
-                           with_triples="ccsdt" in methods)
+                nelec = sum(mol.nelec)
+                # closed shell: the spin-adapted solver (~16x fewer
+                # iteration flops, oracle-pinned to the spin-orbital one
+                # in tests/test_ccsd_rhf.py) makes the 34-point
+                # production table tractable on this host
+                cc = ccsd_rhf if nelec % 2 == 0 else ccsd
+                res = cc(np.array(h1m), np.array(erim), nelec,
+                         with_triples="ccsdt" in methods)
                 if "ccsdt" in methods:
                     ec, et_corr, _ = res
                     et = hf.e_tot + ec + et_corr
@@ -134,7 +141,12 @@ def evaluate_energetics_training_points(mol, workdir=".", methods=(
             except Exception:
                 out["hf"].append((np.nan, np.nan))
         for m in methods:
-            np.save(_partial_path(m), np.asarray(out[m]))
+            # atomic: a wall-clock kill inside np.save must not leave a
+            # truncated .npy that crashes the next resume=True np.load
+            # (np.save appends ".npy" when missing, so keep the suffix)
+            tmp = _partial_path(m)[:-len(".npy")] + ".tmp.npy"
+            np.save(tmp, np.asarray(out[m]))
+            os.replace(tmp, _partial_path(m))
         if progress:
             print(f"[energetics] point {i + 1}/{len(geoms)} done",
                   flush=True)
@@ -237,7 +249,17 @@ def main(argv=None):
                          "charges/PES along the final trajectory with "
                          "this method")
     ap.add_argument("--stride", type=int, default=1)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "default"],
+                    help="host solver workload: force the CPU backend "
+                         "(the axon sitecustomize pins jax_platforms to "
+                         "the TPU, which emulated-f64 solvers must not "
+                         "ride); 'default' leaves jax untouched")
     args = ap.parse_args(argv)
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     mol = zundel(basis=args.basis)
     if args.final_trajectory:
         evaluate_dipole_charges_method(mol, args.final_trajectory,

@@ -130,3 +130,15 @@ def test_multistate_forces_vs_finite_difference(trained):
             em = np.array(model.multistate(cm, nroots=2)[0])[k]
             fd = -(ep - em) / (2 * eps)
             assert abs(F[k, i, d] - fd) < 1e-6
+
+
+def test_batched_forces_chunked_matches_fused(trained):
+    """lax.map-chunked batched dispatch must agree exactly with the fused
+    vmap (the bench's batch-128 recovery path)."""
+    _, model = trained
+    ds = [1.4, 1.7, 2.0, 2.3]
+    batch = np.stack([np.asarray(chain(d).coords) for d in ds])
+    e0, f0 = model.potential_and_forces_batch(batch)
+    e1, f1 = model.potential_and_forces_batch(batch, chunk=2)
+    np.testing.assert_allclose(np.array(e1), np.array(e0), atol=1e-12)
+    np.testing.assert_allclose(np.array(f1), np.array(f0), atol=1e-12)

@@ -74,7 +74,9 @@ def rebuild():
         # D S D, D = diag(+-1)); residual = SCF/Davidson iteration noise
         ov_ref = np.load(os.path.join(SRC, "overlap.npy"))
         ov_new = np.asarray(backend.overlap)
-        s = np.sign(ov_new[0] * ov_ref[0])
+        # np.sign would return 0 on a (numerically) zero first-row overlap
+        # and zero out that state's whole row/column; gauge must be +-1
+        s = np.where(ov_new[0] * ov_ref[0] >= 0, 1.0, -1.0)
         s[0] = 1.0
         dov = np.abs(s[:, None] * ov_new * s[None, :] - ov_ref).max()
         print(f"[anchor] max|overlap - committed| (sign-gauge-fixed) = "
