@@ -87,6 +87,16 @@ SEED = 0
 CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "bench_cache.json")
 
+# Physical-store rung (VERDICT r4 weak #1): the same eval path measured
+# on REAL trained CAS t-RDMs — the rebuilt 34-state Zundel active-
+# learning store (tpu_physical_anchor.py). The synthetic flagship store
+# is well-conditioned by construction; the physical store is what
+# production data looks like, and its accuracy ladder ships with the
+# headline every run.
+PHYS_STORE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "artifacts_zundel_anchor", "store_rebuilt.npz")
+PHYS_BATCH = 64
+
 # Last-resort CPU-f64 baseline (s/eval) if bench_cache.json is missing
 # entirely: the 2026-08-20 protocol run on this host (idle, single core;
 # BENCH_r03.json tail, reps [2.68, 3.37, 2.75]). Only used — with a loud
@@ -224,6 +234,44 @@ def _build_model(overlap_f64=False, store_f64=False,
                              ozaki_depth=ozaki_depth), batch, nao
 
 
+def _phys_arrays():
+    """(overlap, one_rdm, two_rdm) f64 arrays of the rebuilt physical
+    store, orthonormalized (the production conditioning step used by the
+    AL driver and the anchor measurements), or None when the store file
+    is absent."""
+    if not os.path.exists(PHYS_STORE):
+        return None
+    from evcont_tpu.continuation import orthonormalize_store
+    with np.load(PHYS_STORE) as st:
+        ov, r1, r2 = st["overlap"], st["one_rdm"], st["two_rdm"]
+    ov, r1, r2 = orthonormalize_store(ov, r1, r2)
+    return np.asarray(ov), np.asarray(r1), np.asarray(r2)
+
+
+def _phys_md5(ov):
+    return hashlib.md5(np.asarray(ov, dtype=np.float64)
+                       .tobytes()).hexdigest()
+
+
+def _build_phys_model(f32=True):
+    """ContinuationModel on the physical store (s8 production layout).
+    Returns (model, (ov64, r1_64, r2_64)) or (None, None)."""
+    from evcont_tpu.model import ContinuationModel
+    from evcont_tpu.workloads.common import zundel
+
+    arrs = _phys_arrays()
+    if arrs is None:
+        return None, None
+    ov, r1, r2 = arrs
+    mol = zundel(basis="6-31g")
+    if f32:
+        model = ContinuationModel(mol, ov, r1.astype(np.float32),
+                                  r2.astype(np.float32), compress_s8=True)
+    else:
+        model = ContinuationModel(mol, ov, r1, r2, compress_s8=True)
+    return model, arrs
+
+
 def worker_tpu32():
     """Throughput + f32/exact-assembly ladder rungs on the TPU."""
     import jax
@@ -301,13 +349,55 @@ def worker_tpu32():
         print(f"[bench] MD rung failed: {type(err).__name__}: {err}",
               file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "evals_per_sec": evals_per_sec, "batch": batch_used,
         "rep_times": rep_times, "e_f32": float(e_f32),
         "f_f32": np.asarray(f_f32, dtype=np.float64).ravel().tolist(),
         "e_comp": e_comp, "md_steps_per_sec": md_steps_per_sec,
         "store_md5": store_hash(model.overlap),
-    }))
+    }
+
+    # ---- physical-store rung: REAL trained CAS t-RDMs (34-state Zundel
+    # AL store) — throughput + f32/compensated values measured every run;
+    # the accuracy ladder compares against the cached phys_cpu rung ----
+    try:
+        del model  # release the synthetic store's HBM first
+        pm, arrs = _build_phys_model(f32=True)
+        if pm is not None:
+            ov64, r1_64, r2_64 = arrs
+            _, pbatch = eval_geometry(PHYS_BATCH)
+            e, F = pm.potential_and_forces_batch(pbatch)
+            np.array(e)
+            times = []
+            for rep in range(REPS):
+                t0 = time.time()
+                e, F = pm.potential_and_forces_batch(
+                    pbatch + np.float32(1e-5 * (rep + 1)))
+                np.array(e)
+                times.append(time.time() - t0)
+            out["phys_evals_per_sec"] = PHYS_BATCH / float(np.median(times))
+            e1, f1 = pm.potential_and_forces(batch1[0])
+            out["phys_e_f32"] = float(e1)
+            out["phys_f_f32"] = np.asarray(
+                f1, dtype=np.float64).ravel().tolist()
+            # compensated assembly with the true f64 store (hi+lo split):
+            # fixes representation AND accumulation error of the store
+            # contraction; residual = the f32 integral pipeline
+            pm.enable_compensated(store_f64_one_rdm=r1_64,
+                                  store_f64_two_rdm=r2_64)
+            out["phys_e_comp"] = float(pm.potential_compensated(batch1[0]))
+            out["phys_store_md5"] = _phys_md5(ov64)
+            print(f"[bench] physical store (34-state Zundel CAS): "
+                  f"{out['phys_evals_per_sec']:.1f} evals/s "
+                  f"(batch {PHYS_BATCH})", file=sys.stderr)
+        else:
+            print("[bench] physical store absent — rung skipped",
+                  file=sys.stderr)
+    except Exception as err:   # must not sink the headline rungs
+        print(f"[bench] physical rung failed: {type(err).__name__}: {err}",
+              file=sys.stderr)
+
+    print(json.dumps(out))
 
 
 def worker_tpu64():
@@ -391,6 +481,42 @@ def worker_tpu64():
     except Exception as err:
         print(f"[bench] ozaki precise rung failed: "
               f"{type(err).__name__}: {err}", file=sys.stderr)
+
+    # ---- physical-store precise rung: full accuracy on REAL t-RDMs ----
+    try:
+        try:
+            del model_oz
+        except NameError:
+            pass
+        pm, arrs = _build_phys_model(f32=True)
+        if pm is not None:
+            ov64, r1_64, r2_64 = arrs
+            pm.enable_compensated(store_f64_one_rdm=r1_64,
+                                  store_f64_two_rdm=r2_64)
+            ep, fp_ = pm.potential_and_forces_precise(c)
+            out["phys_e_precise"] = float(ep)
+            out["phys_f_precise"] = np.asarray(fp_).ravel().tolist()
+            out["phys_store_md5"] = _phys_md5(ov64)
+            _, pb = eval_geometry(8)
+            pb = np.asarray(pb, dtype=np.float64)
+            eb, fb = pm.potential_and_forces_precise_batch(
+                pb, mode="exact", chunk=4)
+            np.array(eb)
+            times = []
+            for rep in range(3):
+                t0 = time.time()
+                eb, fb = pm.potential_and_forces_precise_batch(
+                    pb * (1.0 + 1e-10 * (rep + 1)), mode="exact", chunk=4)
+                np.array(eb)
+                times.append(time.time() - t0)
+            out["phys_precise_evals_per_sec"] = \
+                len(pb) / float(np.median(times))
+            print(f"[bench] physical precise: E = {float(ep):.10f}, "
+                  f"batched {out['phys_precise_evals_per_sec']:.2f} "
+                  f"evals/s", file=sys.stderr)
+    except Exception as err:
+        print(f"[bench] physical precise rung failed: "
+              f"{type(err).__name__}: {err}", file=sys.stderr)
     print(json.dumps(out))
 
 
@@ -430,6 +556,40 @@ def worker_cpu():
                       "loadavg_after": list(os.getloadavg()),
                       "energy": e, "forces": f.ravel().tolist(),
                       "store_md5": store_hash(model.overlap)}))
+
+
+def worker_phys_cpu():
+    """CPU-f64 reference on the physical store: numerics anchor for the
+    physical accuracy ladder + its own s/eval baseline. Deterministic
+    given (store file, pipeline source) — cached like the cpu rung."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    load_before = os.getloadavg()
+    if load_before[0] > 0.5:
+        print(f"[bench] WARNING: 1-min loadavg {load_before[0]:.2f} > 0.5 "
+              "at phys-cpu start — timings may be contended",
+              file=sys.stderr)
+    pm, arrs = _build_phys_model(f32=False)
+    if pm is None:
+        raise RuntimeError(f"physical store absent: {PHYS_STORE}")
+    _, batch1 = eval_geometry(1)
+    c = np.asarray(batch1[0], dtype=np.float64)
+    e, f = pm.potential_and_forces(c)
+    e = float(e)
+    f = np.asarray(f)
+    times = []
+    for rep in range(5):
+        t0 = time.time()
+        e2, f2 = pm.potential_and_forces(c * (1.0 + 1e-9 * (rep + 1)))
+        float(e2), np.asarray(f2)
+        times.append(time.time() - t0)
+    print(json.dumps({"cpu_eval_seconds": float(np.median(times)),
+                      "cpu_rep_times": times,
+                      "loadavg_before": list(load_before),
+                      "loadavg_after": list(os.getloadavg()),
+                      "energy": e, "forces": f.ravel().tolist(),
+                      "store_md5": _phys_md5(arrs[0])}))
 
 
 def _run_worker(name, timeout=7200):
@@ -516,14 +676,46 @@ def main():
               f"recorded fallback {FALLBACK_CPU_S} s/eval; run `python "
               "bench.py --refresh` untimed to measure one", file=sys.stderr)
 
-    # THE HEADLINE, immediately after the tpu32 worker: nothing printed
-    # or computed past this line can lose the round's metric.
-    print(json.dumps({
+    # physical-store accuracy fields for the headline: compare the
+    # tpu32 worker's physical values against the cached phys_cpu
+    # reference (cache read only — nothing here can stall the headline)
+    headline = {
         "metric": "zundel84_pes_force_evals_per_sec",
         "value": round(r32["evals_per_sec"], 2),
         "unit": "evals/s",
         "vs_baseline": round(r32["evals_per_sec"] * anchor_s, 1),
-    }), flush=True)
+    }
+    pref = pstat = None
+    if r32.get("phys_evals_per_sec"):
+        headline["physical_evals_per_sec"] = round(
+            r32["phys_evals_per_sec"], 1)
+        pref, pstat = _rung(cache, "phys_cpu", fp,
+                            r32.get("phys_store_md5"))
+        if pref is not None:
+            headline["physical_f32_dE_Ha"] = float(
+                f"{abs(r32['phys_e_f32'] - pref['energy']):.3e}")
+            headline["physical_f32_dF_Ha_Bohr"] = float(
+                f"{np.abs(np.array(r32['phys_f_f32']) - np.array(pref['forces'])).max():.3e}")
+            if r32.get("phys_e_comp") is not None:
+                headline["physical_comp_dE_Ha"] = float(
+                    f"{abs(r32['phys_e_comp'] - pref['energy']):.3e}")
+    r64c = cache.get("tpu64") or {}
+    if r64c.get("phys_e_precise") is not None and pref is not None \
+            and r64c.get("phys_store_md5") == r32.get("phys_store_md5"):
+        headline["physical_precise_dE_Ha"] = float(
+            f"{abs(r64c['phys_e_precise'] - pref['energy']):.3e}")
+        if r64c.get("phys_precise_evals_per_sec"):
+            headline["physical_precise_evals_per_sec"] = round(
+                r64c["phys_precise_evals_per_sec"], 2)
+    if r64c.get("precise_evals_per_sec"):
+        headline["precise_batched_evals_per_sec"] = round(
+            r64c["precise_evals_per_sec"], 2)
+        headline["precise_batched_vs_baseline"] = round(
+            r64c["precise_evals_per_sec"] * anchor_s, 1)
+
+    # THE HEADLINE, immediately after the tpu32 worker: nothing printed
+    # or computed past this line can lose the round's metric.
+    print(json.dumps(headline), flush=True)
 
     if cpu_status == "stale":
         print("[bench] WARNING: cached CPU baseline is STALE (pipeline "
@@ -586,6 +778,32 @@ def main():
                       f"(model.potential_and_forces_precise_sharded)",
                       file=sys.stderr)
 
+    # ---- physical-store ladder (REAL trained t-RDMs) ------------------
+    if r32.get("phys_evals_per_sec"):
+        print(f"[bench] physical 34-state store: "
+              f"{r32['phys_evals_per_sec']:.1f} evals/s (batch "
+              f"{PHYS_BATCH})", file=sys.stderr)
+        if pref is None:
+            print("[bench] physical ladder: no cached phys_cpu reference "
+                  "— run `python bench.py --refresh phys_cpu` untimed",
+                  file=sys.stderr)
+        else:
+            print(f"[bench] physical ladder vs CPU f64 [{pstat}, "
+                  f"{cache.get('phys_cpu_date', '?')}] (CPU "
+                  f"{pref['cpu_eval_seconds']:.2f} s/eval):",
+                  file=sys.stderr)
+            for key, label in (("physical_f32_dE_Ha", "f32:     |dE|"),
+                               ("physical_comp_dE_Ha", "comp:    |dE|"),
+                               ("physical_precise_dE_Ha",
+                                "precise: |dE|")):
+                if headline.get(key) is not None:
+                    print(f"[bench]   {label} = {headline[key]:.3e} Ha",
+                          file=sys.stderr)
+            if headline.get("physical_f32_dF_Ha_Bohr") is not None:
+                print(f"[bench]   f32:  max|dF| = "
+                      f"{headline['physical_f32_dF_Ha_Bohr']:.3e} Ha/Bohr",
+                      file=sys.stderr)
+
     print(f"[bench] total wall time {time.time() - t_start:.0f} s",
           file=sys.stderr)
 
@@ -593,9 +811,11 @@ def main():
 if __name__ == "__main__":
     if "--worker" in sys.argv:
         {"tpu32": worker_tpu32, "tpu64": worker_tpu64,
-         "cpu": worker_cpu}[sys.argv[sys.argv.index("--worker") + 1]]()
+         "cpu": worker_cpu, "phys_cpu": worker_phys_cpu}[
+             sys.argv[sys.argv.index("--worker") + 1]]()
     elif "--refresh" in sys.argv:
-        names = [a for a in sys.argv[1:] if a in ("cpu", "tpu64")]
-        refresh(tuple(names) or ("cpu", "tpu64"))
+        names = [a for a in sys.argv[1:]
+                 if a in ("cpu", "tpu64", "phys_cpu")]
+        refresh(tuple(names) or ("cpu", "tpu64", "phys_cpu"))
     else:
         main()

@@ -215,13 +215,15 @@ def ccsd(h1, eri, nelec, max_cycle=100, conv_tol=1e-9, diis_size=8,
     return e_corr, e_t, (t1, t2)
 
 
-def perturbative_triples_so(t1, t2, f, v, no):
-    """Perturbative (T) correction from converged spin-orbital amplitudes:
-    standard disconnected + connected triples (Crawford-Schaefer
-    conventions). Shared by the spin-orbital solver and by ccsd_rhf
-    (which embeds its spatial amplitudes, _embed_so)."""
-    fo, fv = np.diag(f)[:no], np.diag(f)[no:]
+def _triples_body(t1, t2, f, v, no, jnp=np):
+    """(T) energy body: standard disconnected + connected triples
+    (Crawford-Schaefer conventions). Array-namespace parametric; with
+    jax.numpy the permutation adds over the O(n^6) tensors fuse in XLA
+    instead of materializing strided numpy temporaries (measured 527 s
+    -> far less per Zundel point on this host)."""
+    fo, fv = jnp.diag(f)[:no], jnp.diag(f)[no:]
     o, u = slice(None, no), slice(no, None)
+    ein = partial(jnp.einsum, optimize=True) if jnp is np else jnp.einsum
     D3 = (fo[:, None, None, None, None, None]
           + fo[None, :, None, None, None, None]
           + fo[None, None, :, None, None, None]
@@ -231,21 +233,39 @@ def perturbative_triples_so(t1, t2, f, v, no):
 
     # connected triples: P(i/jk) P(a/bc) antisymmetrization of the
     # generator terms
-    g = (np.einsum("jkae,eibc->ijkabc", t2, v[u, o, u, u], optimize=True)
-         - np.einsum("imbc,majk->ijkabc", t2, v[o, u, o, o], optimize=True))
+    g = (ein("jkae,eibc->ijkabc", t2, v[u, o, u, u])
+         - ein("imbc,majk->ijkabc", t2, v[o, u, o, o]))
     # P(i/jk): 1 - (i<->j) - (i<->k); P(a/bc): 1 - (a<->b) - (a<->c)
     g = (g - g.transpose(1, 0, 2, 3, 4, 5) - g.transpose(2, 1, 0, 3, 4, 5))
     g = (g - g.transpose(0, 1, 2, 4, 3, 5) - g.transpose(0, 1, 2, 5, 4, 3))
-    t3c = g / D3
 
     # disconnected triples
-    d = np.einsum("ia,jkbc->ijkabc", t1, v[o, o, u, u], optimize=True)
+    d = ein("ia,jkbc->ijkabc", t1, v[o, o, u, u])
     d = (d - d.transpose(1, 0, 2, 3, 4, 5) - d.transpose(2, 1, 0, 3, 4, 5))
     d = (d - d.transpose(0, 1, 2, 4, 3, 5) - d.transpose(0, 1, 2, 5, 4, 3))
-    t3d = d / D3
 
-    return float(np.einsum("ijkabc,ijkabc->", t3c * D3, t3c + t3d,
-                           optimize=True) / 36.0)
+    # E(T) = sum (t3c * D3)(t3c + t3d)/36 with t3 = {g,d}/D3, folded so
+    # no extra O(n^6) temporaries materialize
+    return jnp.sum(g * (g + d) / D3) / 36.0
+
+
+_TRIPLES_JIT = {}
+
+
+def perturbative_triples_so(t1, t2, f, v, no):
+    """Perturbative (T) correction from converged spin-orbital
+    amplitudes. Shared by the spin-orbital solver and by ccsd_rhf (which
+    embeds its spatial amplitudes, _embed_so). Uses a jitted XLA-CPU body
+    when jax x64 is on (same dispatch rule as _hbar_rhs_jit)."""
+    import jax
+
+    if not jax.config.jax_enable_x64:
+        return float(_triples_body(t1, t2, f, v, no))
+    if no not in _TRIPLES_JIT:
+        import jax.numpy as jnp
+        _TRIPLES_JIT[no] = jax.jit(
+            partial(_triples_body, jnp=jnp), static_argnums=4)
+    return float(_TRIPLES_JIT[no](t1, t2, f, v, no))
 
 
 def _residual_so(t1, t2, h, v, jnp=np):

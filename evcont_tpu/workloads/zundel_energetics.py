@@ -267,7 +267,9 @@ def main(argv=None):
                                        stride=args.stride)
     else:
         evaluate_energetics_training_points(mol, workdir=args.workdir,
-                                            methods=tuple(args.methods))
+                                            methods=tuple(args.methods),
+                                            resume=args.resume,
+                                            progress=True)
 
 
 if __name__ == "__main__":
