@@ -151,19 +151,29 @@ class IntegralEngine:
     f64_contract = "emulated"
 
     def __init__(self, mol: Molecule, f64_contract="emulated",
-                 ozaki_depth=(6, 5)):
+                 ozaki_depth=(6, 5), ozaki_min_elems=1_000_000):
         # f64_contract picks the kernel for the heavy contractions when
         # the pipeline runs at f64 (the precise mode): "emulated" keeps
         # XLA's software-f64 dots (off-MXU); "ozaki" routes them through
         # exact bf16-digit MXU passes (subspace/ozaki.py) at f64-class
         # accuracy — the precise-throughput path. f32 runs are unaffected.
+        # "ozaki-selective" routes ONLY contractions whose largest static
+        # operand has >= ozaki_min_elems elements (small einsums keep
+        # XLA's emulated-f64 dots): the full-ozaki program's ~15-21 MXU
+        # passes per einsum times dozens of quartet-class call sites
+        # exceeds the axon remote compile helper's memory (SIGKILL at
+        # every useful depth, RESULTS r4), while the dominant FLOPs live
+        # in a handful of large contractions — selective routing bounds
+        # program growth to exactly those.
         # ozaki_depth = (forward, vjp) digit depths: error ~2^(-8*depth)
         # relative to per-row operand maxima; depth 6 is f64-class, 5 is
         # ~1e-12-relative (still far inside the 1e-8 Ha north star) at
         # 15 vs 21 MXU passes per contraction and a smaller XLA program.
-        assert f64_contract in ("emulated", "ozaki"), f64_contract
+        assert f64_contract in ("emulated", "ozaki", "ozaki-selective"), \
+            f64_contract
         self.f64_contract = f64_contract
         self.ozaki_depth = tuple(ozaki_depth)
+        self.ozaki_min_elems = int(ozaki_min_elems)
         self.mol = mol
         self.structure = build_shell_structure(mol)
         # internal (cartesian) AO layout used by the scatter kernels
@@ -187,11 +197,18 @@ class IntegralEngine:
         jnp.einsum, or the exact bf16-digit MXU path for f64 inputs when
         f64_contract == "ozaki" (operands are cast up — the static 0/1
         aggregation tables are stored f32)."""
-        if self.f64_contract == "ozaki" and dtype == jnp.float64:
+        if self.f64_contract in ("ozaki", "ozaki-selective") \
+                and dtype == jnp.float64:
             from ..subspace.ozaki import ozaki_einsum
             depth, grad_depth = self.ozaki_depth
+            # static operand-size threshold (shapes are concrete at trace
+            # time): 0 for full ozaki, ozaki_min_elems for selective
+            thresh = (self.ozaki_min_elems
+                      if self.f64_contract == "ozaki-selective" else 0)
 
             def ein(spec, a, b):
+                if max(a.size, b.size) < thresh:
+                    return jnp.einsum(spec, a, b)
                 return ozaki_einsum(spec, a.astype(jnp.float64),
                                     b.astype(jnp.float64), depth,
                                     grad_depth)

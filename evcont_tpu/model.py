@@ -53,15 +53,19 @@ class ContinuationModel:
     def __init__(self, mol: Molecule, overlap, one_rdm, two_rdm,
                  hermitian=True, assembly_backend="xla",
                  packed_layout="auto", f64_contract="emulated",
-                 ozaki_depth=(6, 5), compress_s8=False):
+                 ozaki_depth=(6, 5), ozaki_min_elems=1_000_000,
+                 compress_s8=False):
         self.mol = mol
         # f64_contract="ozaki" routes the f64 contractions of the precise
         # paths (ERI quartet assembly, AO->OAO transform) through exact
         # bf16-digit MXU passes (subspace/ozaki.py) instead of XLA's
-        # off-MXU emulated-f64 dots — the precise-throughput engine. The
-        # f32 paths are unaffected either way.
+        # off-MXU emulated-f64 dots — the precise-throughput engine;
+        # "ozaki-selective" routes only contractions with a static
+        # operand above ozaki_min_elems (bounds XLA program growth, see
+        # IntegralEngine). The f32 paths are unaffected either way.
         self.engine = IntegralEngine(mol, f64_contract=f64_contract,
-                                     ozaki_depth=ozaki_depth)
+                                     ozaki_depth=ozaki_depth,
+                                     ozaki_min_elems=ozaki_min_elems)
         # packed two-body contraction kernel for 2-d stores:
         # "xla" | "pallas" (subspace/pallas_assembly.py)
         self.assembly_backend = assembly_backend

@@ -179,3 +179,39 @@ def test_engine_ozaki_f64_contract_mode():
     v_oz, g_ozk = jax.value_and_grad(scalar(eng_oz))(coords)
     assert abs(float(v_oz) - float(v_ref)) < 1e-10
     assert np.abs(np.asarray(g_ozk) - np.asarray(g_ref)).max() < 1e-8
+
+
+def test_selective_routing_threshold():
+    """f64_contract="ozaki-selective": only contractions whose largest
+    static operand reaches ozaki_min_elems ride the ozaki kernel; the
+    dispatch is value-identical either way on small shapes (both are
+    f64-class), so here we check routing via a counting wrapper."""
+    from evcont_tpu.molecule import Molecule
+    from evcont_tpu.integrals.engine import IntegralEngine
+    import evcont_tpu.subspace.ozaki as oz
+
+    mol = Molecule.build([("H", (0, 0, 0)), ("H", (0, 0, 1.4))],
+                         basis="sto-3g")
+    eng = IntegralEngine(mol, f64_contract="ozaki-selective",
+                         ozaki_min_elems=10**12)   # nothing qualifies
+    ein = eng._f64_ein(jnp.float64)
+    calls = []
+    orig = oz.ozaki_einsum
+
+    a = jnp.asarray(np.random.default_rng(0).standard_normal((4, 5)))
+    b = jnp.asarray(np.random.default_rng(1).standard_normal((5, 3)))
+    try:
+        oz.ozaki_einsum = lambda *args, **kw: calls.append(1) or orig(*args, **kw)
+        # threshold too high -> plain einsum, no ozaki call
+        out = ein("ij,jk->ik", a, b)
+        assert not calls
+        eng2 = IntegralEngine(mol, f64_contract="ozaki-selective",
+                              ozaki_min_elems=4)    # everything qualifies
+        # the engine binds ozaki_einsum at call time through the module
+        out2 = eng2._f64_ein(jnp.float64)("ij,jk->ik", a, b)
+    finally:
+        oz.ozaki_einsum = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(a @ b),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(a @ b),
+                               atol=1e-10)
