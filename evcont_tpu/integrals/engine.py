@@ -599,16 +599,21 @@ class IntegralEngine:
         return self.compute(coords)
 
     def __hash__(self):
-        # static structure is fully determined by the molecule identity
+        # static structure is fully determined by the molecule identity;
+        # the f64-contraction config must participate (engines are jit
+        # static args — a hash collision would reuse the wrong kernel)
         return hash((self.mol.symbols, self.mol.basis, self.mol.charge,
                      self.mol.spin, self.f64_contract,
-                     getattr(self, "ozaki_depth", (6, 5))))
+                     getattr(self, "ozaki_depth", (6, 5)),
+                     getattr(self, "ozaki_min_elems", 1_000_000)))
 
     def __eq__(self, other):
         return (isinstance(other, IntegralEngine)
                 and self.f64_contract == other.f64_contract
                 and getattr(self, "ozaki_depth", (6, 5))
                 == getattr(other, "ozaki_depth", (6, 5))
+                and getattr(self, "ozaki_min_elems", 1_000_000)
+                == getattr(other, "ozaki_min_elems", 1_000_000)
                 and self.mol.symbols == other.mol.symbols
                 and self.mol.basis == other.mol.basis
                 and self.mol.charge == other.mol.charge

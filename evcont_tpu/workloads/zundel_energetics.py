@@ -42,20 +42,32 @@ def training_geometries(workdir):
 
 def evaluate_energetics_training_points(mol, workdir=".", methods=(
         "dmrg", "continuation", "ccsd", "ccsdt", "dft", "hf"),
-        resume=False, progress=False):
+        resume=False, progress=False, store_npz=None):
     """resume: reload per-method partial rows (written after every
     geometry) and skip the already-solved prefix — the per-point solves
     cost minutes each on a single core, so a wall-clock kill must not
-    lose the table. progress: print one line per geometry (flushed)."""
+    lose the table. progress: print one line per geometry (flushed).
+    store_npz: read the t-RDM store (overlap/one_rdm/two_rdm arrays,
+    full OR pair-compressed layouts) from this npz instead of the
+    workdir's .npy files — e.g. the rebuilt physical anchor store when
+    the multi-GB two_rdm.npy was never kept in the AL workdir."""
     geoms = training_geometries(workdir)
     eng = IntegralEngine(mol)
+    paired = False
     if "dmrg" in methods or "continuation" in methods:
         # the t-RDM store is only needed for the solver/continuation
         # columns; the CCSD/CCSD(T)/DFT/HF baselines run from geometries
         # alone (matching the reference, which also solves them fresh)
-        overlap = np.load(os.path.join(workdir, "overlap.npy"))
-        one_rdm = np.load(os.path.join(workdir, "one_rdm.npy"))
-        two_rdm = np.load(os.path.join(workdir, "two_rdm.npy"))
+        if store_npz is not None:
+            with np.load(store_npz) as st:
+                overlap = st["overlap"]
+                one_rdm = st["one_rdm"]
+                two_rdm = st["two_rdm"]
+        else:
+            overlap = np.load(os.path.join(workdir, "overlap.npy"))
+            one_rdm = np.load(os.path.join(workdir, "one_rdm.npy"))
+            two_rdm = np.load(os.path.join(workdir, "two_rdm.npy"))
+        paired = one_rdm.ndim == 3
         model = ContinuationModel(mol, overlap, one_rdm, two_rdm)
 
     def _partial_path(m):
@@ -83,9 +95,18 @@ def evaluate_energetics_training_points(mol, workdir=".", methods=(
             trafo = np.array(loewdin_trafo(b.ovlp))
             h1, h2 = transform_integrals(np.array(b.hcore),
                                          np.array(b.eri), trafo)
-            en = (np.sum(one_rdm[i, i] * np.array(h1))
-                  + 0.5 * np.einsum("pqrs,pqrs->", two_rdm[i, i],
-                                    np.array(h2)))
+            if paired:
+                # tril pair enumeration: diagonal (i,i) sits at i(i+3)/2
+                from ..oao import restore_exchange
+                k = i * (i + 3) // 2
+                r1_ii = np.asarray(one_rdm[k])
+                r2_ii = np.asarray(restore_exchange(
+                    np.asarray(two_rdm[k]), eng.nao))
+            else:
+                r1_ii, r2_ii = one_rdm[i, i], two_rdm[i, i]
+            en = (np.sum(r1_ii * np.array(h1))
+                  + 0.5 * np.einsum("pqrs,pqrs->", r2_ii,
+                                    np.array(h2), optimize=True))
             out["dmrg"].append(en + float(b.enuc))
         if "continuation" in methods:
             out["continuation"].append(float(model.potential(g)))
@@ -250,6 +271,10 @@ def main(argv=None):
                          "this method")
     ap.add_argument("--stride", type=int, default=1)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--store-npz", default=None,
+                    help="t-RDM store npz for the dmrg/continuation "
+                         "columns (e.g. the rebuilt physical anchor "
+                         "store)")
     ap.add_argument("--platform", default="cpu", choices=["cpu", "default"],
                     help="host solver workload: force the CPU backend "
                          "(the axon sitecustomize pins jax_platforms to "
@@ -269,7 +294,8 @@ def main(argv=None):
         evaluate_energetics_training_points(mol, workdir=args.workdir,
                                             methods=tuple(args.methods),
                                             resume=args.resume,
-                                            progress=True)
+                                            progress=True,
+                                            store_npz=args.store_npz)
 
 
 if __name__ == "__main__":
