@@ -203,7 +203,8 @@ def eval_geometry(batch_size=1):
 
 
 def _build_model(overlap_f64=False, store_f64=False,
-                 f64_contract="emulated", ozaki_depth=(6, 5)):
+                 f64_contract="emulated", ozaki_depth=(6, 5),
+                 ozaki_min_elems=1_000_000):
     from evcont_tpu.model import ContinuationModel
     from evcont_tpu.integrals.engine import IntegralEngine
 
@@ -231,7 +232,8 @@ def _build_model(overlap_f64=False, store_f64=False,
     return ContinuationModel(mol, ov, r1, r2,
                              packed_layout="rfp-native", compress_s8=True,
                              f64_contract=f64_contract,
-                             ozaki_depth=ozaki_depth), batch, nao
+                             ozaki_depth=ozaki_depth,
+                             ozaki_min_elems=ozaki_min_elems), batch, nao
 
 
 def _phys_arrays():

@@ -59,7 +59,8 @@ def main():
           f"B={B}", flush=True)
 
     from evcont_tpu.continuation import oao_integrals
-    from evcont_tpu.oao import rfp_fold
+    from evcont_tpu.continuation import packed_fold
+    pack = packed_fold(model.packed_layout)
     from evcont_tpu.subspace.compensated import (
         compensated_pair_assembly, split_two_float_device)
 
@@ -69,7 +70,7 @@ def main():
         def one(c):
             h1, h2, enuc = oao_integrals(model.engine, c,
                                          refine_loewdin=True)
-            return h1, rfp_fold(h2, diag_multiplier=0.5), enuc
+            return h1, pack(h2, diag_multiplier=0.5), enuc
         return jax.vmap(one)(cbatch)
 
     t_int_fwd = timed(integrals_fwd, cb, label="integrals fwd (f64)")
@@ -78,7 +79,7 @@ def main():
     @jax.jit
     def integrals_vjp(cbatch):
         def scalar(c):
-            h1, h2c, enuc = (lambda r: (r[0], rfp_fold(r[1], 0.5), r[2]))(
+            h1, h2c, enuc = (lambda r: (r[0], pack(r[1], 0.5), r[2]))(
                 oao_integrals(model.engine, c, refine_loewdin=True))
             # a fixed linear functional stands in for <g1,h1>+<g2,h2c>
             return jnp.sum(h1) * 1e-3 + jnp.sum(h2c) * 1e-6 + enuc
