@@ -206,6 +206,9 @@ def test_h2_ccpvtz_rhf():
     assert -1.13363 < res.e_tot < -1.13250, res.e_tot
 
 
+@pytest.mark.slow  # ~30 min cold compile on this 1-core host (58-AO eri
+# graph); the d-shell/VTZ code paths stay covered in the core lane by
+# test_h2_ccpvtz_rhf and test_h2o_ccpvdz_rhf_literature
 def test_h2o_ccpvtz_rhf_literature():
     """cc-pVTZ O data incl. the f shell: literature RHF/cc-pVTZ at the
     experimental geometry (reference vtz workloads,

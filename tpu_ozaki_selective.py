@@ -9,15 +9,20 @@ passes — bounding the XLA program growth that SIGKILLed the full-ozaki
 pipeline (RESULTS r4) while the FLOP-dominant einsums leave XLA's
 off-MXU emulated-f64 dots.
 
-Stages (each guarded; later stages skipped if an earlier one fails):
-  1. single-geometry potential_and_forces_precise: compile viability,
-     warm s/eval, |dE|/|dF| vs the cached CPU-f64 reference
-  2. batched B chunk 4 exact-assembly: evals/s + accuracy
+Measured so far (synthetic Zundel-84 store, vs cached CPU-f64):
+  single geometry, min_elems=5e5, depth (6,5): 0.229 s/eval warm
+  (first 1476 s), |dE| = 9.0e-12 Ha, max|dF| = 1.5e-8 — viable.
+  batched chunk 4: compile helper SIGKILL (program ~4x the single
+  body) -> probe smaller chunks.
 
-Usage: python tpu_ozaki_selective.py [min_elems] [depth] [grad_depth] [B]
-       defaults: 500000 6 5 16
+Usage:
+  python tpu_ozaki_selective.py [min_elems] [depth] [grad_depth] [B] [chunk]
+  defaults: 500000 6 5 16 4
+  OZSEL_SKIP_SINGLE=1 skips the single-geometry stage (already
+  measured) and goes straight to the batched probe.
 """
 
+import os
 import sys
 import time
 
@@ -35,6 +40,8 @@ def main():
     depth = int(argv[1]) if len(argv) > 1 else 6
     grad_depth = int(argv[2]) if len(argv) > 2 else 5
     B = int(argv[3]) if len(argv) > 3 else 16
+    chunk = int(argv[4]) if len(argv) > 4 else 4
+    skip_single = os.environ.get("OZSEL_SKIP_SINGLE") == "1"
 
     model, batch, nao = bench._build_model(
         overlap_f64=True, f64_contract="ozaki-selective",
@@ -48,41 +55,42 @@ def main():
           f"min_elems={min_elems} depth=({depth},{grad_depth})",
           flush=True)
 
-    t0 = time.time()
-    e, f = model.potential_and_forces_precise(c)
-    e = float(e)
-    f = np.asarray(f)
-    t_first = time.time() - t0
-    times = []
-    for rep in range(3):
+    if not skip_single:
         t0 = time.time()
-        e2, f2 = model.potential_and_forces_precise(c * (1.0 + 1e-10))
-        float(e2), np.asarray(f2)
-        times.append(time.time() - t0)
-    line = (f"[ozsel] single: {np.median(times):.3f} s/eval warm "
-            f"(first {t_first:.0f} s)")
-    if e_ref is not None:
-        line += (f" | vs CPU f64: |dE|={abs(e - e_ref):.2e} Ha, "
-                 f"max|dF|={np.abs(f - f_ref).max():.2e}")
-    print(line, flush=True)
+        e, f = model.potential_and_forces_precise(c)
+        e = float(e)
+        f = np.asarray(f)
+        t_first = time.time() - t0
+        times = []
+        for rep in range(3):
+            t0 = time.time()
+            e2, f2 = model.potential_and_forces_precise(c * (1.0 + 1e-10))
+            float(e2), np.asarray(f2)
+            times.append(time.time() - t0)
+        line = (f"[ozsel] single: {np.median(times):.3f} s/eval warm "
+                f"(first {t_first:.0f} s)")
+        if e_ref is not None:
+            line += (f" | vs CPU f64: |dE|={abs(e - e_ref):.2e} Ha, "
+                     f"max|dF|={np.abs(f - f_ref).max():.2e}")
+        print(line, flush=True)
 
     _, ball = bench.eval_geometry(B)
     bb = np.asarray(ball, dtype=np.float64)
     t0 = time.time()
     eb, fb = model.potential_and_forces_precise_batch(bb, mode="exact",
-                                                      chunk=4)
+                                                      chunk=chunk)
     np.array(eb)
     t_compile = time.time() - t0
     times = []
     for rep in range(3):
         t0 = time.time()
         eb, fb = model.potential_and_forces_precise_batch(
-            bb * (1.0 + 1e-10 * (rep + 1)), mode="exact", chunk=4)
+            bb * (1.0 + 1e-10 * (rep + 1)), mode="exact", chunk=chunk)
         np.array(eb)
         times.append(time.time() - t0)
     per = float(np.median(times)) / B
-    line = (f"[ozsel] batched B={B} chunk 4: {per * 1e3:.1f} ms/eval "
-            f"({1.0 / per:.2f} evals/s), first {t_compile:.0f} s")
+    line = (f"[ozsel] batched B={B} chunk {chunk}: {per * 1e3:.1f} "
+            f"ms/eval ({1.0 / per:.2f} evals/s), first {t_compile:.0f} s")
     if e_ref is not None:
         dE = abs(float(np.array(eb)[0]) - e_ref)
         dF = np.abs(np.array(fb)[0] - f_ref).max()
