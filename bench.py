@@ -403,86 +403,88 @@ def worker_tpu32():
 
 
 def worker_tpu64():
-    """Full-precision rungs: emulated-f64 integrals (accuracy anchor) and
-    the Ozaki bf16-digit MXU engine (the precise-throughput path,
-    VERDICT r3 #2 — one rung demonstrating the whole north star:
-    >= 50x CPU f64 at <= 1e-8 Ha)."""
+    """Full-precision rungs (VERDICT r4 #1 — the matched-accuracy north
+    star): the precise pipeline on the ozaki-selective engine (exact
+    bf16-digit MXU passes for the large f64 contractions of the integral
+    pipeline, XLA emulated-f64 for the rest; measured round 5: single
+    0.229 vs 0.44 s/eval emulated at |dE| 9.0e-12 Ha, batched B=16
+    chunk 2 = 6.8 evals/s — the >= 6.3 evals/s/chip rung). Falls back
+    to the emulated engine if the selective program stops compiling."""
     import jax
     jax.config.update("jax_enable_x64", True)
-    model, batch, _ = _build_model(overlap_f64=True)
-    c = np.asarray(batch[0], dtype=np.float64)
-    t0 = time.time()
-    e, f = model.potential_and_forces_precise(c)
-    e = float(e)
-    f = np.asarray(f)
-    t_first = time.time() - t0
+    c = np.asarray(eval_geometry(1)[1][0], dtype=np.float64)
+
+    model = None
+    engine_used = "ozaki-selective"
+    try:
+        model, _, _ = _build_model(overlap_f64=True,
+                                   f64_contract="ozaki-selective",
+                                   ozaki_depth=(6, 5),
+                                   ozaki_min_elems=500_000)
+        t0 = time.time()
+        e, f = model.potential_and_forces_precise(c)
+        e = float(e)
+        f = np.asarray(f)
+        t_first = time.time() - t0
+    except Exception as err:
+        print(f"[bench] ozaki-selective precise failed "
+              f"({type(err).__name__}: {err}) — falling back to the "
+              "emulated-f64 engine", file=sys.stderr)
+        engine_used = "emulated"
+        model, _, _ = _build_model(overlap_f64=True)
+        t0 = time.time()
+        e, f = model.potential_and_forces_precise(c)
+        e = float(e)
+        f = np.asarray(f)
+        t_first = time.time() - t0
     t0 = time.time()
     e2, f2 = model.potential_and_forces_precise(c * (1.0 + 1e-10))
     float(e2), np.asarray(f2)
-    print(f"[bench] precise first {t_first:.1f} s, warm "
+    print(f"[bench] precise ({engine_used}) first {t_first:.1f} s, warm "
           f"{time.time() - t0:.2f} s/eval", file=sys.stderr)
 
     out = {"e_precise": e, "f_precise": f.ravel().tolist(),
+           "precise_engine": engine_used,
            "store_md5": store_hash(model.overlap)}
 
     # the north-star rung: BATCHED precise throughput — vmap turns the
     # per-geometry store contractions into GEMMs streaming the s8 store
-    # once per chunk and amortizes the emulated-f64 integral pipeline.
-    # Runs on the same (emulated-f64, exact-assembly) engine as the
-    # anchor values above, so its accuracy IS the precise row of the
-    # ladder. Must not sink the anchor values.
+    # once per chunk and batching amortizes the integral pipeline. Runs
+    # on the same engine as the anchor values above; the accuracy values
+    # (e_precise_batch0 vs the CPU reference) are taken from a final
+    # UNPERTURBED evaluation — comparing the perturbed timing batch
+    # would contaminate |dE| by the perturbation's physical energy
+    # change (~eps * E_nuc ~ 1e-8 Ha at eps = 3e-10).
     try:
-        _, batch8 = eval_geometry(8)
-        b8 = np.asarray(batch8, dtype=np.float64)
+        _, batch16 = eval_geometry(16)
+        b16 = np.asarray(batch16, dtype=np.float64)
+        chunk = 2 if engine_used == "ozaki-selective" else 4
         eb, fb = model.potential_and_forces_precise_batch(
-            b8, mode="exact", chunk=4)
+            b16, mode="exact", chunk=chunk)
         np.array(eb)
         times = []
         for rep in range(3):
             t0 = time.time()
             eb, fb = model.potential_and_forces_precise_batch(
-                b8 * (1.0 + 1e-10 * (rep + 1)), mode="exact", chunk=4)
+                b16 * (1.0 + 1e-10 * (rep + 1)), mode="exact",
+                chunk=chunk)
             np.array(eb)
             times.append(time.time() - t0)
-        out["precise_batch"] = len(b8)
-        out["precise_evals_per_sec"] = len(b8) / float(np.median(times))
-        out["e_precise_batch0"] = float(np.asarray(eb)[0])
-        print(f"[bench] precise batched (exact assembly): "
+        out["precise_batch"] = len(b16)
+        out["precise_chunk"] = chunk
+        out["precise_evals_per_sec"] = len(b16) / float(np.median(times))
+        eb0, fb0 = model.potential_and_forces_precise_batch(
+            b16, mode="exact", chunk=chunk)
+        out["e_precise_batch0"] = float(np.asarray(eb0)[0])
+        out["f_precise_batch0"] = np.asarray(fb0)[0].ravel().tolist()
+        print(f"[bench] precise batched ({engine_used}, exact assembly): "
               f"{out['precise_evals_per_sec']:.2f} evals/s "
-              f"(batch {len(b8)}, chunk 4)", file=sys.stderr)
+              f"(batch {len(b16)}, chunk {chunk})", file=sys.stderr)
     except Exception as err:
         print(f"[bench] precise batched rung failed: "
               f"{type(err).__name__}: {err}", file=sys.stderr)
         out.setdefault("precise_evals_per_sec", None)
         out.setdefault("precise_batch", None)
-
-    # Ozaki-engine rung (optional): the same precise pipeline with the
-    # f64 contractions as exact bf16-digit MXU passes (subspace/ozaki.py).
-    # The FULL-pipeline ozaki program currently exceeds the remote TPU
-    # compile helper's memory at every useful depth (SIGKILL, r04) —
-    # kept as an attempt so the rung self-reports; the ERI-stage numbers
-    # are in tpu_profile_eri.py / RESULTS.md.
-    try:
-        model_oz, _, _ = _build_model(overlap_f64=True,
-                                      f64_contract="ozaki",
-                                      ozaki_depth=(5, 4))
-        t0 = time.time()
-        eo, fo = model_oz.potential_and_forces_precise(c)
-        eo = float(eo)
-        fo = np.asarray(fo)
-        t_first = time.time() - t0
-        t0 = time.time()
-        eo2, fo2 = model_oz.potential_and_forces_precise(c * (1.0 + 1e-10))
-        float(eo2), np.asarray(fo2)
-        t_oz = time.time() - t0
-        print(f"[bench] precise/ozaki first {t_first:.1f} s, warm "
-              f"{t_oz:.2f} s/eval; |dE vs emulated| = {abs(eo - e):.2e} Ha",
-              file=sys.stderr)
-        out.update(e_ozaki=eo, f_ozaki=fo.ravel().tolist(),
-                   ozaki_eval_seconds=t_oz)
-    except Exception as err:
-        print(f"[bench] ozaki precise rung failed: "
-              f"{type(err).__name__}: {err}", file=sys.stderr)
 
     # ---- physical-store precise rung: full accuracy on REAL t-RDMs ----
     try:
@@ -714,6 +716,10 @@ def main():
             r64c["precise_evals_per_sec"], 2)
         headline["precise_batched_vs_baseline"] = round(
             r64c["precise_evals_per_sec"] * anchor_s, 1)
+        if r64c.get("e_precise_batch0") is not None and ref is not None \
+                and r64c.get("store_md5") == ref.get("store_md5"):
+            headline["precise_batched_dE_Ha"] = float(
+                f"{abs(r64c['e_precise_batch0'] - ref['energy']):.3e}")
 
     # THE HEADLINE, immediately after the tpu32 worker: nothing printed
     # or computed past this line can lose the round's metric.
@@ -772,11 +778,18 @@ def main():
                       file=sys.stderr)
             if r64.get("precise_evals_per_sec"):
                 pes = r64["precise_evals_per_sec"]
-                print(f"[bench]   precise batched (exact assembly, per "
-                      f"chip): {pes:.2f} evals/s = "
-                      f"{pes * anchor_s:.1f}x CPU f64; geometry-batched "
-                      f"PES is data-parallel, so an 8-chip north-star "
-                      f"slice scales this 8x "
+                acc = ""
+                if r64.get("e_precise_batch0") is not None:
+                    acc = (f" at |dE| = "
+                           f"{abs(r64['e_precise_batch0'] - e_ref):.3e}"
+                           " Ha")
+                print(f"[bench]   precise batched "
+                      f"({r64.get('precise_engine', 'emulated')}, exact "
+                      f"assembly, batch {r64.get('precise_batch')} chunk "
+                      f"{r64.get('precise_chunk', 4)}, per chip): "
+                      f"{pes:.2f} evals/s = {pes * anchor_s:.1f}x CPU f64"
+                      f"{acc}; geometry-batched PES is data-parallel, so "
+                      f"an 8-chip north-star slice scales this 8x "
                       f"(model.potential_and_forces_precise_sharded)",
                       file=sys.stderr)
 
