@@ -140,6 +140,9 @@ def test_ozaki_einsum_vjp():
     assert _err(gb, np.asarray(rb)) < 1e-9
 
 
+@pytest.mark.slow  # 70 s on this host (full f64 eri graph through the
+# ozaki kernels on CPU); kernel-level ozaki correctness stays in the
+# core lane via the matmul/einsum/selective-routing tests above
 def test_engine_ozaki_f64_contract_mode():
     """eri/oao_integrals with f64_contract="ozaki" match the emulated-f64
     default to f64-class accuracy, including the force pullback."""

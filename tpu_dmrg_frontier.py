@@ -80,19 +80,32 @@ def main():
                 solver = DeviceDMRG(W, n_sites, m, n_elec=na + nb, sz=0.0)
             else:
                 solver = DeviceDMRG(W, n_sites, m, mps0=solver.mps())
+            # sweep to energy convergence at this rung (a cold start
+            # needs ~10 sweeps; warm-started rungs converge in a few);
+            # per-sweep time is taken from the last, noise-free sweep
             t0 = time.time()
             solver.sweep(noise=noise, k=20, seed=1)
             t_first = time.time() - t0
-            t0 = time.time()
-            solver.sweep(noise=0.1 * noise, k=20, seed=2)
-            t_sweep = time.time() - t0
+            e_prev, t_sweep, n_sweeps = None, t_first, 1
+            for s in range(2, 26):
+                nz = noise * 0.25 ** (s - 1)
+                t0 = time.time()
+                solver.sweep(noise=nz if nz > 1e-8 else 0.0, k=20,
+                             seed=s)
+                t_sweep = time.time() - t0
+                n_sweeps = s
+                e_now = float(mpo_expectation(solver.mps(), W_ham))
+                if e_prev is not None and abs(e_now - e_prev) < 1e-6:
+                    break
+                e_prev = e_now
             mps = solver.mps()
             e = float(mpo_expectation(mps, W_ham)) + enuc
             row = {"m": m, "sweep_seconds": t_sweep,
-                   "first_sweep_seconds": t_first, "energy": e}
-            print(f"[frontier] m={m}: E = {e:.6f} Ha, sweep "
-                  f"{t_sweep:.1f} s (first {t_first:.0f} s incl. "
-                  "compile)", flush=True)
+                   "first_sweep_seconds": t_first, "n_sweeps": n_sweeps,
+                   "energy": e}
+            print(f"[frontier] m={m}: E = {e:.6f} Ha after {n_sweeps} "
+                  f"sweeps, {t_sweep:.2f} s/sweep (first {t_first:.0f} s "
+                  "incl. compile)", flush=True)
 
             if m <= TRDM_MAX_M:
                 try:
