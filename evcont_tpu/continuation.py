@@ -278,6 +278,54 @@ def whitening_matrix(S, cutoff=GEP_CUTOFF):
     return U * inv_sqrt
 
 
+@partial(jax.jit, static_argnums=2)
+def krylov_ground_state_refine(A, y, k=8):
+    """Warm-started ground-state refinement of a small symmetric matrix:
+    build the k-dimensional Krylov space of A at the previous step's
+    vector y, orthonormalize it through a Cholesky factorization (dense
+    GEMMs — no per-step eigh(ntrain)), and Rayleigh-Ritz in the k-space
+    (one k x k eigh, k << ntrain).
+
+    This is the serial-MD eigensolve replacement: along a trajectory the
+    whitened subspace Hamiltonian A(R_t) drifts slowly, so the previous
+    step's eigenvector is an excellent start and a handful of Krylov
+    vectors pin the ground state to solver precision — without the
+    eigh(ntrain) + eigenvector-JVP machinery that costs ~half the serial
+    MD step on TPU (tpu_md_step_profile.py round 5). Returns the refined
+    unit vector; differentiation is intentionally blocked (consumers
+    evaluate a Rayleigh quotient at the stop-gradient vector —
+    generalized Hellmann-Feynman, like the precise paths)."""
+    A = jax.lax.stop_gradient(A)
+    y = jax.lax.stop_gradient(y)
+    n = A.shape[0]
+    k = min(k, n)
+    cols = [y / jnp.linalg.norm(y)]
+    for _ in range(k - 1):
+        w = A @ cols[-1]
+        cols.append(w / jnp.linalg.norm(w))
+    K = jnp.stack(cols, axis=1)                       # (n, k)
+    eps = jnp.finfo(A.dtype).eps
+    eye = jnp.eye(k, dtype=A.dtype)
+
+    def chol_orth(K):
+        # eps-scaled ridge: Krylov columns become linearly dependent as
+        # the start converges — exactly the regime where the span
+        # already contains the answer, so the ridge only damps the
+        # redundant directions
+        G = K.T @ K
+        G = G + 100.0 * eps * jnp.trace(G) / k * eye
+        L = jnp.linalg.cholesky(G)
+        return jax.scipy.linalg.solve_triangular(L, K.T, lower=True).T
+
+    # CholeskyQR2: the second pass restores near-machine orthogonality
+    # that a single ridged pass loses on ill-conditioned Krylov blocks
+    Q = chol_orth(chol_orth(K))
+    M = Q.T @ (A @ Q)
+    w_, U = jnp.linalg.eigh(0.5 * (M + M.T))
+    ynew = Q @ U[:, 0]
+    return ynew / jnp.linalg.norm(ynew)
+
+
 @partial(jax.custom_jvp, nondiff_argnums=(2,))
 def lowest_states_whitened(H, X, nroots=1):
     """lowest_states with a precomputed whitening X = whitening_matrix(S).

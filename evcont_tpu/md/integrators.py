@@ -83,6 +83,44 @@ def run_nve(energy_fn, masses, coords0, veloc0, dt, steps, aux_fn=None):
     return res
 
 
+def run_nve_stateful(energy_state_fn, masses, coords0, veloc0, dt, steps,
+                     state0):
+    """NVE velocity-Verlet with an auxiliary solver state carried through
+    the scan: energy_state_fn(coords, state) -> (E, state_new). Force =
+    -dE/dcoords with the state input held fixed (the state update runs
+    under stop_gradient inside energy_state_fn — e.g. the warm-started
+    Krylov ground-state refinement of
+    ContinuationModel.energy_fn_with_store_krylov, whose Rayleigh-
+    quotient energy makes that force generalized Hellmann-Feynman)."""
+    masses = jnp.asarray(masses)
+    coords0 = jnp.asarray(coords0)
+    veloc0 = jnp.zeros_like(coords0) if veloc0 is None \
+        else jnp.asarray(veloc0)
+    inv_m = 1.0 / masses[:, None]
+
+    def eval_ef(c, s):
+        (e, s_new), g = jax.value_and_grad(
+            energy_state_fn, has_aux=True)(c, s)
+        return e, s_new, -g
+
+    _, s0, f0 = eval_ef(coords0, state0)
+
+    def step(carry, _):
+        coords, veloc, forces, s = carry
+        veloc_half = veloc + 0.5 * dt * forces * inv_m
+        coords_new = coords + dt * veloc_half
+        e_new, s_new, forces_new = eval_ef(coords_new, s)
+        veloc_new = veloc_half + 0.5 * dt * forces_new * inv_m
+        return (coords_new, veloc_new, forces_new, s_new), \
+            (coords_new, veloc_new, e_new)
+
+    _, outs = jax.lax.scan(step, (coords0, veloc0, f0, s0), None,
+                           length=steps)
+    coords, veloc, epot = outs
+    ekin = jax.vmap(lambda v: kinetic_energy(v, masses))(veloc)
+    return {"coords": coords, "veloc": veloc, "epot": epot, "ekin": ekin}
+
+
 def run_nve_ensemble(energy_fn, masses, coords0_batch, veloc0_batch, dt,
                      steps):
     """Batch of independent NVE trajectories via vmap — the TPU-native

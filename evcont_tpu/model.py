@@ -588,6 +588,51 @@ class ContinuationModel:
             return en + enuc
         return f
 
+    def energy_fn_with_store_krylov(self, k=8, init_coords=None):
+        """(f, store, y0) for warm-started serial MD scans:
+        f(coords, y, one_rdm, two_rdm) -> (E, y_new) where y is the
+        whitened subspace ground-state vector carried through the scan.
+        Per step the eigensolve is replaced by a k-dimensional Krylov /
+        Rayleigh-Ritz refinement at the previous step's vector
+        (continuation.krylov_ground_state_refine) and the energy is the
+        Rayleigh quotient at the stop-gradient refined vector — forces
+        are generalized Hellmann-Feynman, so jax.grad through f's energy
+        output needs no eigenvector tangents. Measured round 5: the
+        eigh(ntrain) + eigenvector-JVP machinery is ~half the 9 ms
+        serial step at Zundel-84.
+
+        y0 is the exact whitened ground-state vector at init_coords
+        (default: the molecule's equilibrium coords), computed once with
+        the standard eigensolve."""
+        from .continuation import krylov_ground_state_refine
+
+        engine = self.engine
+        layout = self.packed_layout
+        X = self.whitening          # geometry-independent: computed once
+
+        def f(coords, y, one_rdm, two_rdm):
+            h1, h2, enuc = oao_integrals(engine, coords)
+            from .continuation import assemble_hamiltonian
+            H = assemble_hamiltonian(h1, h2, one_rdm, two_rdm,
+                                     packed_layout=layout,
+                                     ntrain=X.shape[0])
+            A = X.T @ H @ X
+            y_new = krylov_ground_state_refine(0.5 * (A + A.T), y, k)
+            y_sg = jax.lax.stop_gradient(y_new)
+            return (y_sg @ A @ y_sg) + enuc, y_new
+
+        c0 = np.asarray(self.mol.coords if init_coords is None
+                        else init_coords)
+        h1, h2, _ = oao_integrals(self.engine, jnp.asarray(
+            c0, dtype=self.one_rdm.dtype))
+        _, vec = approximate_ground_state(
+            h1, h2, self.one_rdm, self.two_rdm, self.overlap,
+            hermitian=True, packed_layout=layout)
+        # whitened coordinates of the S-normalized eigenvector: v = X y
+        y0, *_ = jnp.linalg.lstsq(X, vec)
+        y0 = y0 / jnp.linalg.norm(y0)
+        return f, (self.one_rdm, self.two_rdm), y0
+
     def energy_fn_with_store(self):
         """(f(coords, overlap, one_rdm, two_rdm), store) — the parametric
         form for jitted drivers. The multi-GB t-RDM store must enter jit

@@ -349,18 +349,42 @@ def s8_npacked(norb):
     return T * (T + 1) // 2
 
 
+_S8_GATHER_CACHE = {}
+
+
+def _s8_gather_matrix(norb):
+    """The s8_rows composite-pair gather as a static 0/1 matrix (N, T):
+    on TPU a minor-axis jnp.take lowers to element-serial loads and its
+    VJP to an element-serial scatter, while the identical linear map as
+    a GEMM rides the MXU (same trick as engine._conv_onehot; measured
+    ~1 ms of the 8.4 ms serial MD step in the fold's take pair,
+    tpu_md_step_profile.py)."""
+    if norb not in _S8_GATHER_CACHE:
+        rows = s8_rows(norb)
+        G = np.zeros((norb * norb, len(rows)), dtype=np.float32)
+        G[rows, np.arange(len(rows))] = 1.0
+        _S8_GATHER_CACHE[norb] = G
+    return _S8_GATHER_CACHE[norb]
+
+
 def s8_fold(h2, diag_multiplier=1.0):
     """Pack an 8-fold-symmetric 4-index tensor into its s8 slot vector
-    (..., P(P+1)/2): two leading-axis row gathers onto the tril composite
-    pairs (cheap — h2 is the small per-geometry tensor, not the store)
-    followed by the dense _sym_fold."""
+    (..., P(P+1)/2): the composite-pair row/column selection (as 0/1
+    GEMMs for f32 — MXU; as gathers for f64, where an emulated-f64 GEMM
+    would cost more than the serial loads) followed by the dense
+    _sym_fold."""
     norb = h2.shape[-1]
     N = norb * norb
     batch = h2.shape[:-4]
     M = h2.reshape(batch + (N, N))
-    rows = jnp.asarray(s8_rows(norb))
-    M = jnp.take(M, rows, axis=-2)
-    M = jnp.take(M, rows, axis=-1)
+    if M.dtype == jnp.float32:
+        G = jnp.asarray(_s8_gather_matrix(norb))
+        M = jnp.einsum("...ab,as->...sb", M, G)
+        M = jnp.einsum("...sb,bt->...st", M, G)
+    else:
+        rows = jnp.asarray(s8_rows(norb))
+        M = jnp.take(M, rows, axis=-2)
+        M = jnp.take(M, rows, axis=-1)
     return _sym_fold(M, diag_multiplier)
 
 

@@ -238,3 +238,34 @@ def test_chunked_trajectory_matches_single_scan(h2_model):
     assert c2.shape == c1.shape
     assert np.abs(c1 - c2).max() < 1e-10
     assert np.abs(e1 - e2).max() < 1e-10
+
+
+def test_nve_stateful_krylov_matches_eigh():
+    """The warm-started Krylov MD scan (per-step eigensolve replaced by
+    carried-vector Rayleigh-Ritz, Hellmann-Feynman forces) must
+    reproduce the eigh-based NVE trajectory."""
+    import jax
+    from evcont_tpu.md.integrators import run_nve, run_nve_stateful
+
+    backend = FCIBackend()
+    for d in [1.2, 1.4, 1.8]:
+        backend.append_to_rdms(h2(d))
+    model = ContinuationModel.from_backend(h2(1.4), backend)
+    masses = model.mol.masses_au()
+    c0 = np.asarray(h2(1.6).coords)
+
+    efn_s, store, _ = None, None, None
+    efn, (ov, r1, r2) = model.energy_fn_with_store()
+    ref = jax.jit(lambda c: run_nve(
+        lambda x: efn(x, ov, r1, r2), masses, c, None, 5.0, 30))(c0)
+
+    fK, (r1k, r2k), y0 = model.energy_fn_with_store_krylov(
+        k=6, init_coords=c0)
+    out = jax.jit(lambda c, y: run_nve_stateful(
+        lambda x, s: fK(x, s, r1k, r2k), masses, c, None, 5.0, 30, y)
+    )(c0, y0)
+
+    np.testing.assert_allclose(np.array(out["epot"]),
+                               np.array(ref["epot"]), atol=5e-9)
+    np.testing.assert_allclose(np.array(out["coords"]),
+                               np.array(ref["coords"]), atol=1e-7)

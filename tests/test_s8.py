@@ -162,3 +162,21 @@ def test_model_parity_precise_path():
     e1, f1 = m_s8.potential_and_forces_precise(c)
     assert abs(float(e0) - float(e1)) < 1e-11
     np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), atol=1e-9)
+
+
+def test_s8_fold_f32_gemm_matches_gather():
+    """The f32 path routes the composite-pair selection through 0/1
+    GEMMs (MXU); it must match the f64 gather path exactly (the one-hot
+    products are exact in f32 for exactly-representable inputs)."""
+    import jax.numpy as jnp
+    from evcont_tpu.oao import s8_fold
+
+    rng = np.random.default_rng(3)
+    n = 5
+    # exactly-f32-representable 8-symmetric tensor
+    a = np.round(rng.standard_normal((n,) * 4) * 64.0) / 64.0
+    for perm in [(1, 0, 2, 3), (0, 1, 3, 2), (2, 3, 0, 1)]:
+        a = a + a.transpose(perm)
+    p64 = np.asarray(s8_fold(jnp.asarray(a, dtype=jnp.float64), 0.5))
+    p32 = np.asarray(s8_fold(jnp.asarray(a, dtype=jnp.float32), 0.5))
+    np.testing.assert_array_equal(p32.astype(np.float64), p64)
