@@ -70,8 +70,7 @@ NTRAIN = 84
 # as lax.map sub-batches of C inside one dispatch (HBM stays at the
 # chunk's footprint — a fused 128-wide vmap OOMs at the flagship store,
 # BENCH_r04, so the large batches ride the known-good 64-wide body)
-BATCH_CANDIDATES = ((256, 64), (128, 64), (64, None), (32, None),
-                    (16, None), (8, None))
+BATCH_CANDIDATES = ((256, 64), (128, 64), (64, None), (32, None))
 REPS = 5
 SEED = 0
 
