@@ -278,13 +278,72 @@ def whitening_matrix(S, cutoff=GEP_CUTOFF):
     return U * inv_sqrt
 
 
-@partial(jax.jit, static_argnums=2)
-def krylov_ground_state_refine(A, y, k=8):
+def _chol_unrolled(G):
+    """Cholesky of a small static-k SPD matrix as fully unrolled scalar
+    ops. No LAPACK-style custom call: inside a latency-bound MD scan body
+    on TPU, a cholesky/triangular-solve/eigh custom call each costs
+    O(100 us) in fixed overhead regardless of size — for k <= 8 the
+    unrolled scalar chain fuses into a handful of elementwise kernels."""
+    k = G.shape[0]
+    tiny = jnp.finfo(G.dtype).tiny
+    L = [[None] * k for _ in range(k)]
+    for i in range(k):
+        s = G[i, i]
+        for j in range(i):
+            s = s - L[i][j] * L[i][j]
+        L[i][i] = jnp.sqrt(jnp.maximum(s, tiny))
+        for j in range(i + 1, k):
+            t = G[j, i]
+            for m in range(i):
+                t = t - L[j][m] * L[i][m]
+            L[j][i] = t / L[i][i]
+    zero = jnp.zeros_like(G[0, 0])
+    return jnp.stack([
+        jnp.stack([L[i][j] if j <= i else zero for j in range(k)])
+        for i in range(k)])
+
+
+def _forward_sub_unrolled(L, B):
+    """Row-unrolled solve of L X = B (L lower-triangular, static k rows).
+    B rows may be length-n vectors; each step is one vector FMA."""
+    k = L.shape[0]
+    rows = []
+    for i in range(k):
+        r = B[i]
+        for j in range(i):
+            r = r - L[i, j] * rows[j]
+        rows.append(r / L[i, i])
+    return jnp.stack(rows)
+
+
+def _jacobi_eigh_small(M, sweeps=3):
+    """Cyclic-Jacobi eigendecomposition of a static-k symmetric matrix via
+    explicit (p, q) rotations — GEMMs on k x k blocks plus scalar angle
+    math, zero custom calls. Quadratically convergent; sweeps=3 reaches
+    working precision for k <= 8. Returns (diag approx eigenvalues, V)."""
+    k = M.shape[0]
+    V = jnp.eye(k, dtype=M.dtype)
+    for _ in range(sweeps):
+        for p in range(k - 1):
+            for q in range(p + 1, k):
+                # arctan2 handles the b -> 0 limit (theta -> 0 or pi/2)
+                theta = 0.5 * jnp.arctan2(2.0 * M[p, q], M[q, q] - M[p, p])
+                c, s = jnp.cos(theta), jnp.sin(theta)
+                R = jnp.eye(k, dtype=M.dtype)
+                R = R.at[p, p].set(c).at[q, q].set(c)
+                R = R.at[p, q].set(s).at[q, p].set(-s)
+                M = R.T @ M @ R
+                V = V @ R
+    return jnp.diag(M), V
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def krylov_ground_state_refine(A, y, k=8, small="eigh", sweeps=3):
     """Warm-started ground-state refinement of a small symmetric matrix:
     build the k-dimensional Krylov space of A at the previous step's
     vector y, orthonormalize it through a Cholesky factorization (dense
     GEMMs — no per-step eigh(ntrain)), and Rayleigh-Ritz in the k-space
-    (one k x k eigh, k << ntrain).
+    (one k x k solve, k << ntrain).
 
     This is the serial-MD eigensolve replacement: along a trajectory the
     whitened subspace Hamiltonian A(R_t) drifts slowly, so the previous
@@ -294,7 +353,17 @@ def krylov_ground_state_refine(A, y, k=8):
     MD step on TPU (tpu_md_step_profile.py round 5). Returns the refined
     unit vector; differentiation is intentionally blocked (consumers
     evaluate a Rayleigh quotient at the stop-gradient vector —
-    generalized Hellmann-Feynman, like the precise paths)."""
+    generalized Hellmann-Feynman, like the precise paths).
+
+    small selects the k x k stage implementation:
+      * "eigh"   — cholesky + triangular_solve + eigh backend calls.
+      * "nocall" — fully unrolled Cholesky-QR + cyclic-Jacobi Rayleigh-
+        Ritz (zero custom calls). On TPU the small-stage custom calls are
+        latency-bound fixed costs inside the scan body, so this variant
+        is the serial-MD throughput path (measured round 5: see RESULTS);
+        numerically it matches "eigh" to working precision (sweeps=3
+        Jacobi is quadratically converged at k <= 8; for k = 2 one sweep
+        is exact)."""
     A = jax.lax.stop_gradient(A)
     y = jax.lax.stop_gradient(y)
     n = A.shape[0]
@@ -314,6 +383,9 @@ def krylov_ground_state_refine(A, y, k=8):
         # redundant directions
         G = K.T @ K
         G = G + 100.0 * eps * jnp.trace(G) / k * eye
+        if small == "nocall":
+            L = _chol_unrolled(G)
+            return _forward_sub_unrolled(L, K.T).T
         L = jnp.linalg.cholesky(G)
         return jax.scipy.linalg.solve_triangular(L, K.T, lower=True).T
 
@@ -321,8 +393,13 @@ def krylov_ground_state_refine(A, y, k=8):
     # that a single ridged pass loses on ill-conditioned Krylov blocks
     Q = chol_orth(chol_orth(K))
     M = Q.T @ (A @ Q)
-    w_, U = jnp.linalg.eigh(0.5 * (M + M.T))
-    ynew = Q @ U[:, 0]
+    M = 0.5 * (M + M.T)
+    if small == "nocall":
+        d, U = _jacobi_eigh_small(M, sweeps=sweeps)
+        ynew = Q @ U[:, jnp.argmin(d)]
+    else:
+        w_, U = jnp.linalg.eigh(M)
+        ynew = Q @ U[:, 0]
     return ynew / jnp.linalg.norm(ynew)
 
 

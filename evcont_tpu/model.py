@@ -588,7 +588,8 @@ class ContinuationModel:
             return en + enuc
         return f
 
-    def energy_fn_with_store_krylov(self, k=8, init_coords=None):
+    def energy_fn_with_store_krylov(self, k=8, init_coords=None,
+                                    small="eigh", sweeps=3):
         """(f, store, y0) for warm-started serial MD scans:
         f(coords, y, one_rdm, two_rdm) -> (E, y_new) where y is the
         whitened subspace ground-state vector carried through the scan.
@@ -617,7 +618,8 @@ class ContinuationModel:
                                      packed_layout=layout,
                                      ntrain=X.shape[0])
             A = X.T @ H @ X
-            y_new = krylov_ground_state_refine(0.5 * (A + A.T), y, k)
+            y_new = krylov_ground_state_refine(0.5 * (A + A.T), y, k,
+                                               small=small, sweeps=sweeps)
             y_sg = jax.lax.stop_gradient(y_new)
             return (y_sg @ A @ y_sg) + enuc, y_new
 

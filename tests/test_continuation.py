@@ -445,3 +445,29 @@ def test_eigenvector_tangents_exact():
     fd = (qw(jnp.asarray(H + eps * dH)) - qw(jnp.asarray(H - eps * dH))) \
         / (2 * eps)
     assert abs(float(jvp) - float(fd)) < 1e-6 * max(1.0, abs(float(fd)))
+
+
+def test_krylov_refine_nocall_matches_eigh():
+    """The custom-call-free Krylov refinement stage (unrolled Cholesky-QR
+    + cyclic-Jacobi Rayleigh-Ritz, the serial-MD latency path) must agree
+    with the backend-eigh variant to working precision, including at a
+    fully converged start where the Krylov block is rank-deficient."""
+    from evcont_tpu.continuation import krylov_ground_state_refine
+
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((40, 40))
+    A = 0.5 * (A + A.T)
+    w, V = np.linalg.eigh(A)
+    y0 = V[:, 0] + 1e-3 * rng.standard_normal(40)
+    y0 /= np.linalg.norm(y0)
+    for k in (2, 4, 8):
+        ye = np.asarray(krylov_ground_state_refine(
+            jnp.asarray(A), jnp.asarray(y0), k, "eigh"))
+        yn = np.asarray(krylov_ground_state_refine(
+            jnp.asarray(A), jnp.asarray(y0), k, "nocall"))
+        assert abs((ye @ A @ ye) - (yn @ A @ yn)) < 5e-9
+        assert abs(abs(ye @ V[:, 0]) - abs(yn @ V[:, 0])) < 5e-9
+    # converged start: ridge must keep the rank-deficient block stable
+    yc = np.asarray(krylov_ground_state_refine(
+        jnp.asarray(A), jnp.asarray(V[:, 0]), 4, "nocall"))
+    assert (yc @ A @ yc) - w[0] < 1e-9

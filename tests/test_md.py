@@ -269,3 +269,15 @@ def test_nve_stateful_krylov_matches_eigh():
                                np.array(ref["epot"]), atol=5e-9)
     np.testing.assert_allclose(np.array(out["coords"]),
                                np.array(ref["coords"]), atol=1e-7)
+
+    # the custom-call-free small stage (serial-MD latency path on TPU)
+    # must track the same trajectory
+    fN, (r1n, r2n), y0n = model.energy_fn_with_store_krylov(
+        k=4, small="nocall", init_coords=c0)
+    outn = jax.jit(lambda c, y: run_nve_stateful(
+        lambda x, s: fN(x, s, r1n, r2n), masses, c, None, 5.0, 30, y)
+    )(c0, y0n)
+    np.testing.assert_allclose(np.array(outn["epot"]),
+                               np.array(ref["epot"]), atol=5e-9)
+    np.testing.assert_allclose(np.array(outn["coords"]),
+                               np.array(ref["coords"]), atol=1e-7)
