@@ -117,8 +117,10 @@ def _split_truncate(th, m, noise, key):
         row = (jnp.sum(th * th, axis=(1, 2, 3)) > 0).astype(th.dtype)
         col = (jnp.sum(th * th, axis=(0, 1, 2)) > 0).astype(th.dtype)
         mask = row[:, None, None, None] * col[None, None, None, :]
+        # float(): a np.float64 scalar is strongly typed and would
+        # silently promote the f32 sweep to f64 on x64-enabled hosts
         th = th + noise * mask * jax.random.normal(key, th.shape, th.dtype) \
-            * jnp.linalg.norm(th) / np.sqrt(th.size)
+            * jnp.linalg.norm(th) / float(np.sqrt(th.size))
     mm = th.shape[0]
     mat = th.reshape(mm * 2, 2 * mm)
     U, s, Vt = jnp.linalg.svd(mat, full_matrices=False)
@@ -306,12 +308,42 @@ def _np_mps_norm(mps):
     return float(E[0, 0])
 
 
+def host_polish_f64(mps, W, m, sweeps=1, seed=0):
+    """Final-mile f64 polish of a device-converged MPS: a few *host*
+    numpy two-site sweeps (solvers/dmrg._run_sweep) warm-started at the
+    exported state, noise off.
+
+    Rationale (measured, RESULTS round 5 / tpu_dmrg_frontier.py): the
+    f32 device Lanczos floors the resolvable energy at ~1e-5 relative —
+    at H30/m=256 the energy fluctuates at +5e-5 Ha and stops converging
+    per-sweep. The state itself is variationally fine (energy error is
+    second order in state error), so one or two f64 sweeps from the warm
+    state recover f64-class accuracy at a cost that is tiny next to the
+    device ladder (the expensive part — the m-ladder from a cold start —
+    stays on the accelerator). This is the TPU-native division of labor;
+    an emulated-f64 device sweep (x64 SVD/eigh on TPU) would be slower
+    than the host at these sizes and brutal to compile.
+
+    W is the PENALIZED sweep MPO (the same one the device sweeps used).
+    Modifies mps in place and returns it."""
+    from .dmrg import _make_envs, _run_sweep
+
+    rng = np.random.default_rng(seed)
+    LE, RE = _make_envs(mps, W)
+    for _ in range(sweeps):
+        _run_sweep(mps, W, LE, RE, m, rng, 0.0)
+    return mps
+
+
 def dmrg_ground_state_device(h1, eri, nelec, bond_dims=(16, 32),
                              sweeps_per_dim=2, penalty=8.0, noise=1e-4,
-                             k=20, seed=0, mpo_cutoff=None):
+                             k=20, seed=0, mpo_cutoff=None,
+                             final_f64_sweeps=0, dtype=None):
     """Device-path analog of dmrg.dmrg_ground_state: compile the MPO on
     host, run every sweep on the accelerator, return (physical energy,
-    numpy MPS)."""
+    numpy MPS). final_f64_sweeps > 0 appends that many host f64 polish
+    sweeps at the last bond dimension (host_polish_f64) — breaks through
+    the f32 device-Lanczos energy floor."""
     norb = h1.shape[0]
     n_sites = 2 * norb
     if isinstance(nelec, (tuple, list)):
@@ -330,13 +362,16 @@ def dmrg_ground_state_device(h1, eri, nelec, bond_dims=(16, 32),
     for m in bond_dims:
         if solver is None:
             solver = DeviceDMRG(W, n_sites, m, n_elec=na + nb,
-                                sz=0.5 * (na - nb))
+                                sz=0.5 * (na - nb), dtype=dtype)
         else:
             mps_prev = solver.mps()
-            solver = DeviceDMRG(W, n_sites, m, mps0=mps_prev)
+            solver = DeviceDMRG(W, n_sites, m, mps0=mps_prev, dtype=dtype)
         for s in range(sweeps_per_dim):
             solver.sweep(noise=noise, k=k, seed=seed + 7 * s)
         noise *= 0.1
     mps = solver.mps()
+    if final_f64_sweeps:
+        host_polish_f64(mps, W, bond_dims[-1], sweeps=final_f64_sweeps,
+                        seed=seed)
     e_phys = mpo_expectation(mps, W_ham)
     return e_phys, mps

@@ -93,3 +93,37 @@ def test_converge_dmrg_device(tmp_path):
     log = (tmp_path / "DMRG_result_dev0.txt").read_text().strip()
     assert len(log.splitlines()) >= 2          # per-rung rows written
     assert (tmp_path / "dev0-mps.npz").exists()  # restart bundle saved
+
+
+def test_f32_device_sweeps_plus_f64_host_polish():
+    """The TPU-native accuracy split for production bond dims: f32 device
+    sweeps carry the m-ladder (on TPU they floor at ~1e-5 relative — the
+    f32 local-Lanczos limit, measured at H30/m=256 in RESULTS round 5),
+    then host_polish_f64 runs noiseless f64 host sweeps from the warm
+    state. At H4 toy scale the f32 state is already near-exact (the
+    host-f64 expectation squares the state error away), so the floor is
+    emulated by an under-converged noisy f32 solve; one warm-started
+    polish sweep must recover FCI to 1e-8."""
+    import jax.numpy as jnp
+    from evcont_tpu.solvers.dmrg_jax import host_polish_f64
+
+    h1, h2 = _ints(4)
+    e_fci = FCISolver(4, 4).kernel(h1, h2)[0]
+    # under-converged f32 device state: one noisy sweep at m=8 only
+    e32, mps = dmrg_ground_state_device(
+        h1, h2, 4, bond_dims=(8,), sweeps_per_dim=1, noise=1e-2,
+        dtype=jnp.float32)
+    err32 = abs(e32 - e_fci)
+    assert err32 > 1e-8          # visibly unconverged warm state
+
+    W_ham = build_hamiltonian_mpo_fast(h1, h2)
+    W_pen = number_penalty_mpo(8, 4, 0.0, lam=8.0)
+    W = mpo_compress(mpo_add(W_ham, W_pen))
+    host_polish_f64(mps, W, 16, sweeps=2)
+    e64 = mpo_expectation(mps, W_ham)
+    assert abs(e64 - e_fci) < 1e-8
+    # integrated path: fully f32-converged ladder + one f64 polish sweep
+    e_int, _ = dmrg_ground_state_device(
+        h1, h2, 4, bond_dims=(8, 16), sweeps_per_dim=3, noise=1e-4,
+        dtype=jnp.float32, final_f64_sweeps=1)
+    assert abs(e_int - e_fci) < 1e-8
